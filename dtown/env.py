@@ -1,0 +1,308 @@
+"""The environment core: pure reset / step with in-graph auto-reset.
+
+TPU-native rewrite of the reference's Simulator + DuckietownEnv step/reset
+loop (reference: simulator.py::Simulator.reset/.step/.update_physics and
+envs/duckietown_env.py::DuckietownEnv.step — SURVEY.md §3.2/§3.4).
+
+Everything is a pure function of (cfg, maps, state); batching over envs is
+``jax.vmap``; the reference's NotInLane / spawn-failure exceptions become
+flags so the whole step is jittable (SURVEY.md §5 failure-detection row).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from dtown import constants as C
+from dtown import objects as objlib
+from dtown import physics
+from dtown import randomization
+from dtown.dynamics import integrate, wheel_model
+from dtown.geometry import bezier_point, bezier_tangent, get_lane_pos2
+from dtown.types import EnvConfig, EnvState, MapArrays, StepOutput
+
+
+def select_map(maps: MapArrays, map_idx) -> MapArrays:
+    """Per-env map gather for stacked multi-map arrays (no-op for single)."""
+    if maps.tile_kind.ndim == 2:
+        return maps
+    return jax.tree_util.tree_map(lambda a: a[map_idx], maps)
+
+
+def active_objects(maps, state):
+    """Mask of collidable object slots (padding + hidden optionals off)."""
+    return maps.obj_mask & (~maps.obj_optional | state.obj_visible)
+
+
+# ---------------------------------------------------------------------
+# Reset
+# ---------------------------------------------------------------------
+
+def _fallback_spawn(maps):
+    """Deterministic spawn on the first drivable tile's first lane curve,
+    heading along the lane (used if rejection sampling finds nothing)."""
+    W = maps.grid_shape[1]
+    flat_idx = jnp.argmax(maps.drivable_frac)
+    j, i = flat_idx // W, flat_idx % W
+    cps = maps.curves[j, i, 0]
+    t = jnp.asarray(0.5, dtype=cps.dtype)
+    pos = bezier_point(cps, t)
+    tan = bezier_tangent(cps, t)
+    angle = jnp.arctan2(-tan[2], tan[0])
+    return pos, angle
+
+
+def _sample_spawn(cfg: EnvConfig, maps: MapArrays, state_objs, key):
+    """Rejection-sample a start pose, fixed iteration budget.
+
+    reference: Simulator.reset spawn loop (<= MAX_SPAWN_ATTEMPTS):
+    random drivable tile -> uniform pos in tile, uniform angle; accept iff
+    not too close to objects, _valid_pose(pose, 1.3) and lane angle within
+    accept_start_angle_deg. Fixed-length fori_loop with first-accept
+    semantics replaces the reference's while loop.
+    """
+    H, W = maps.grid_shape
+    obj_corners, obj_norms, obj_active = state_objs
+    ts = maps.tile_size
+
+    def propose(key):
+        k1, k2, k3 = jax.random.split(key, 3)
+        flat = jax.random.choice(
+            k1, H * W, p=maps.drivable_frac
+        )
+        j, i = flat // W, flat % W
+        uv = jax.random.uniform(k2, (2,), dtype=ts.dtype)
+        pos = jnp.stack(
+            [
+                (i.astype(ts.dtype) + uv[0]) * ts,
+                jnp.zeros_like(ts),
+                (j.astype(ts.dtype) + uv[1]) * ts,
+            ]
+        )
+        angle = jax.random.uniform(
+            k3, (), minval=0.0, maxval=2.0 * jnp.pi, dtype=ts.dtype
+        )
+        return pos, angle
+
+    def accept(pos, angle):
+        # Object clearance (reference: Simulator._inconvenient_spawn)
+        d = jnp.linalg.norm(maps.obj_pos - pos, axis=-1)
+        clear = ~jnp.any(
+            obj_active & (d < (C.MIN_SPAWN_OBJ_DIST + maps.obj_safety_rad))
+        )
+        valid, _ = physics.valid_pose(
+            maps, pos, angle, obj_corners, obj_norms, obj_active,
+            safety_factor=1.3,
+        )
+        lp = get_lane_pos2(maps, pos, angle)
+        ang_ok = (
+            lp.in_lane
+            & (lp.angle_deg > -cfg.accept_start_angle_deg)
+            & (lp.angle_deg < cfg.accept_start_angle_deg)
+        )
+        return clear & valid & ang_ok
+
+    def body(t, carry):
+        found, pos, angle, key = carry
+        key, sub = jax.random.split(key)
+        p, a = propose(sub)
+        ok = accept(p, a) & ~found
+        pos = jnp.where(ok, p, pos)
+        angle = jnp.where(ok, a, angle)
+        return found | ok, pos, angle, key
+
+    fb_pos, fb_angle = _fallback_spawn(maps)
+    found, pos, angle, _ = jax.lax.fori_loop(
+        0, cfg.spawn_attempts, body, (jnp.bool_(False), fb_pos, fb_angle, key)
+    )
+    return pos, angle
+
+
+def reset(cfg: EnvConfig, maps: MapArrays, key, map_idx=None) -> EnvState:
+    """Sample a fresh episode state (reference: Simulator.reset, SURVEY §3.4)."""
+    if map_idx is None:
+        map_idx = jnp.zeros((), dtype=jnp.int32)
+    m = select_map(maps, map_idx)
+    key, k_rand, k_spawn = jax.random.split(key, 3)
+    rand = randomization.draw(cfg, k_rand, m.grid_shape, m.max_objects)
+
+    dyn = objlib.init_dyn_state(m)
+    obj_active = m.obj_mask & (~m.obj_optional | rand["obj_visible"])
+    pos, angle = _sample_spawn(
+        cfg, m, (m.obj_corners, m.obj_norms, obj_active), k_spawn
+    )
+
+    zero = jnp.zeros((), dtype=jnp.float32)
+    return EnvState(
+        pos=pos.astype(jnp.float32),
+        angle=angle.astype(jnp.float32),
+        step_count=jnp.zeros((), dtype=jnp.int32),
+        speed=zero,
+        wheel_vels=jnp.zeros((2,), dtype=jnp.float32),
+        last_action=jnp.zeros((2,), dtype=jnp.float32),
+        rng=key,
+        map_idx=jnp.asarray(map_idx, jnp.int32),
+        dyn=dyn,
+        **rand,
+    )
+
+
+# ---------------------------------------------------------------------
+# Observation
+# ---------------------------------------------------------------------
+
+def render_obs(cfg: EnvConfig, maps: MapArrays, state: EnvState):
+    """Produce the observation for the current state.
+
+    obs_type == "state": compact state vector (pose + lane position), the
+    CPU-parity config of BASELINE.md.
+    obs_type == "rgb": on-device rendered camera image, uint8 [h, w, c]
+    (replaces the reference's _render_img GL path, SURVEY §3.3).
+    """
+    maps = select_map(maps, state.map_idx)
+    if cfg.obs_type == "state":
+        lp = get_lane_pos2(maps, state.pos, state.angle)
+        return jnp.stack(
+            [
+                state.pos[0],
+                state.pos[2],
+                jnp.cos(state.angle),
+                jnp.sin(state.angle),
+                state.speed,
+                jnp.where(lp.in_lane, lp.dist, 0.0),
+                jnp.where(lp.in_lane, lp.dot_dir, 0.0),
+                jnp.where(lp.in_lane, lp.angle_rad, 0.0),
+                lp.in_lane.astype(jnp.float32),
+                state.wheel_vels[0],
+                state.wheel_vels[1],
+            ]
+        ).astype(jnp.float32)
+    elif cfg.obs_type == "rgb":
+        from dtown.render import render_frame
+
+        return render_frame(cfg, maps, state)
+    else:
+        raise ValueError(f"unknown obs_type {cfg.obs_type}")
+
+
+# ---------------------------------------------------------------------
+# Step
+# ---------------------------------------------------------------------
+
+def step(cfg: EnvConfig, maps: MapArrays, state: EnvState, action):
+    """One env step: dynamics -> NPC updates -> validity -> reward -> obs.
+
+    reference call stack in SURVEY.md §3.2. Auto-reset: when the episode
+    ends the returned state is a freshly reset one (in-graph), and
+    StepOutput.obs is the first observation of the new episode.
+    """
+    m = select_map(maps, state.map_idx)
+    # Sanitize: a NaN/inf action (e.g. from a diverged learner) must not
+    # poison the persistent env state of the whole batch.
+    action = jnp.nan_to_num(
+        jnp.asarray(action, jnp.float32), nan=0.0, posinf=1e6, neginf=-1e6
+    )
+
+    if cfg.use_wheel_model:
+        wheels = wheel_model(
+            action, cfg.gain, cfg.trim, cfg.wheel_radius, cfg.k, cfg.limit,
+            state.wheel_dist,
+        )
+    else:
+        wheels = action
+    wheels = jnp.clip(wheels, -1.0, 1.0)
+
+    dt = jnp.float32(cfg.delta_time)
+    pos, angle, speed, wheel_vels = integrate(
+        state.pos, state.angle, wheels, state.robot_speed, state.wheel_dist,
+        dt, cfg.frame_skip,
+    )
+
+    # Dynamic objects advance frame_skip substeps too
+    # (reference: update_physics steps every obj each iteration)
+    dyn = state.dyn
+    for _ in range(cfg.frame_skip):
+        dyn = objlib.step_dynamic_objects(m, dyn, dt)
+
+    step_count = state.step_count + cfg.frame_skip
+    obj_active = active_objects(m, state)
+    obj_corners, obj_norms = objlib.dynamic_corners(m, dyn)
+
+    valid, collided = physics.valid_pose(
+        m, pos, angle, obj_corners, obj_norms, obj_active
+    )
+    lp = get_lane_pos2(m, pos, angle)
+    col_penalty = physics.proximity_penalty(
+        pos, angle, dyn.pos, m.obj_safety_rad, obj_active, m.obj_is_dynamic
+    )
+    reward_alive = physics.compute_reward(speed, lp, col_penalty)
+
+    truncated = step_count >= cfg.max_steps
+    crashed = ~valid
+    done = crashed | truncated
+    reward = jnp.where(crashed, jnp.float32(C.REWARD_INVALID_POSE), reward_alive)
+
+    new_state = state.replace(
+        pos=pos,
+        angle=angle,
+        step_count=step_count,
+        speed=speed,
+        wheel_vels=wheel_vels,
+        last_action=action,
+        dyn=dyn,
+    )
+
+    if cfg.auto_reset:
+        reset_key, carry_key = jax.random.split(state.rng)
+        fresh = reset(cfg, maps, reset_key, map_idx=state.map_idx)
+        new_state = new_state.replace(rng=carry_key)
+        new_state = jax.tree_util.tree_map(
+            lambda a, b: jnp.where(jnp.reshape(done, (1,) * a.ndim), b, a),
+            new_state,
+            fresh,
+        )
+
+    obs = render_obs(cfg, maps, new_state)
+    out = StepOutput(
+        obs=obs,
+        reward=reward,
+        done=done,
+        lane_dist=lp.dist,
+        lane_dot_dir=lp.dot_dir,
+        lane_angle_deg=lp.angle_deg,
+        in_lane=lp.in_lane,
+        collision=collided,
+        timestamp=step_count.astype(jnp.float32) * dt,
+    )
+    return new_state, out
+
+
+# ---------------------------------------------------------------------
+# Vectorized convenience API
+# ---------------------------------------------------------------------
+
+def make_vec_env(cfg: EnvConfig, maps: MapArrays, num_envs: int):
+    """Jitted, vmapped (reset, step) over a batch of envs.
+
+    Replaces the vectorization the reference lacks entirely (SURVEY §2
+    "Parallelism: none exist") with vmap over the EnvState pytree.
+    """
+
+    @jax.jit
+    def v_reset(key):
+        keys = jax.random.split(key, num_envs)
+        if maps.tile_kind.ndim == 3:
+            n_maps = maps.tile_kind.shape[0]
+            idx = jnp.arange(num_envs, dtype=jnp.int32) % n_maps
+        else:
+            idx = jnp.zeros((num_envs,), dtype=jnp.int32)
+        return jax.vmap(lambda k, i: reset(cfg, maps, k, i))(keys, idx)
+
+    @jax.jit
+    def v_step(states, actions):
+        return jax.vmap(lambda s, a: step(cfg, maps, s, a))(states, actions)
+
+    return v_reset, v_step

@@ -1,0 +1,98 @@
+"""Thin host-side single-env wrapper with the classic Gym API.
+
+Lets a user of the reference (`gym.make("Duckietown-<map>-v0")`,
+reference: gym_duckietown/__init__.py registration + simulator.py Gym
+surface) switch over with minimal changes. The wrapper owns one EnvState
+and calls the jitted functional core; all compute stays on device, only
+the returned obs/reward cross to host.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dtown import constants as C
+from dtown import env as env_core
+from dtown import map_loader
+from dtown.types import EnvConfig
+
+
+class DuckietownEnv:
+    """Single-env, gym-style API over the functional core.
+
+    reference: envs/duckietown_env.py::DuckietownEnv (action
+    [velocity, steering]) on top of simulator.py::Simulator.
+    """
+
+    metadata = {"render.modes": ["rgb_array"]}
+
+    def __init__(self, map_name: str = C.DEFAULT_MAP_NAME, seed: int = 0,
+                 **cfg_kwargs):
+        cfg_kwargs.setdefault("auto_reset", False)
+        self.cfg = EnvConfig(**cfg_kwargs)
+        self.map_name = map_name
+        self.maps = map_loader.load_map(map_name)
+        self._reset = jax.jit(functools.partial(env_core.reset, self.cfg, self.maps))
+        self._step = jax.jit(functools.partial(env_core.step, self.cfg, self.maps))
+        self._render = jax.jit(
+            functools.partial(env_core.render_obs, self.cfg, self.maps)
+        )
+        self._key = jax.random.PRNGKey(seed)
+        self.state = None
+
+        h, w, c = self.cfg.camera_height, self.cfg.camera_width, self.cfg.obs_channels
+        if self.cfg.obs_type == "rgb":
+            self.observation_shape = (h, w, c)
+        else:
+            self.observation_shape = (11,)
+        self.action_shape = (2,)
+
+    # -- gym surface ---------------------------------------------------
+    def seed(self, seed: int = 0):
+        self._key = jax.random.PRNGKey(seed)
+        return [seed]
+
+    def reset(self):
+        self._key, sub = jax.random.split(self._key)
+        self.state = self._reset(sub)
+        return np.asarray(self._render(self.state))
+
+    def step(self, action):
+        assert self.state is not None, "call reset() first"
+        action = jnp.asarray(np.asarray(action, dtype=np.float32))
+        self.state, out = self._step(self.state, action)
+        info = {
+            "Simulator": {
+                "action": np.asarray(action),
+                "lane_position": {
+                    "dist": float(out.lane_dist),
+                    "dot_dir": float(out.lane_dot_dir),
+                    "angle_deg": float(out.lane_angle_deg),
+                },
+                "robot_speed": float(self.state.speed),
+                "cur_pos": np.asarray(self.state.pos),
+                "cur_angle": float(self.state.angle),
+                "wheel_velocities": np.asarray(self.state.wheel_vels),
+                "tile_coords": [
+                    int(self.state.pos[0] // float(self.maps.tile_size)),
+                    int(self.state.pos[2] // float(self.maps.tile_size)),
+                ],
+                "timestamp": float(out.timestamp),
+                "msg": "",
+            }
+        }
+        return (
+            np.asarray(out.obs),
+            float(out.reward),
+            bool(out.done),
+            info,
+        )
+
+    def render(self, mode: str = "rgb_array"):
+        return np.asarray(self._render(self.state))
+
+    def close(self):
+        pass

@@ -1,0 +1,275 @@
+"""Core datatypes: static config, map arrays, env state.
+
+Design (SURVEY.md §7): every reference Simulator method becomes a pure
+function ``f(cfg, maps, state, ...) -> (state, out)``.
+
+* ``EnvConfig`` is a frozen, hashable stdlib dataclass — it is a *static*
+  argument to jit and therefore part of the compilation cache key (the
+  reference's constructor kwargs, simulator.py::Simulator.__init__).
+* ``MapArrays`` is the compiled, array-only form of a map yaml — the
+  reference's ``_load_map`` products (tile dicts, baked bezier curves,
+  stacked object corners/norms) flattened into static-shape jnp arrays.
+* ``EnvState`` is the full per-env simulation state as a pytree of arrays;
+  batching over envs is a ``vmap`` over this pytree.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax.numpy as jnp
+from flax import struct
+
+from dtown import constants as C
+
+Array = Any  # jax array alias for annotations
+
+
+# --- Tile kind enumeration (reference: map yaml tokens, SURVEY §2.10) ----
+TILE_EMPTY = 0        # non-road, non-drivable, no texture (out of grid)
+TILE_STRAIGHT = 1
+TILE_CURVE_LEFT = 2
+TILE_CURVE_RIGHT = 3
+TILE_3WAY_LEFT = 4
+TILE_3WAY_RIGHT = 5
+TILE_4WAY = 6
+TILE_ASPHALT = 7
+TILE_GRASS = 8
+TILE_FLOOR = 9
+
+TILE_KINDS = {
+    "empty": TILE_EMPTY,
+    "straight": TILE_STRAIGHT,
+    "curve_left": TILE_CURVE_LEFT,
+    "curve_right": TILE_CURVE_RIGHT,
+    "3way_left": TILE_3WAY_LEFT,
+    "3way_right": TILE_3WAY_RIGHT,
+    "4way": TILE_4WAY,
+    "asphalt": TILE_ASPHALT,
+    "grass": TILE_GRASS,
+    "floor": TILE_FLOOR,
+}
+TILE_KIND_NAMES = {v: k for k, v in TILE_KINDS.items()}
+DRIVABLE_KINDS = (
+    TILE_STRAIGHT,
+    TILE_CURVE_LEFT,
+    TILE_CURVE_RIGHT,
+    TILE_3WAY_LEFT,
+    TILE_3WAY_RIGHT,
+    TILE_4WAY,
+)
+
+# --- Object kind enumeration (reference: map yaml `objects:` kinds) -----
+OBJ_KINDS = [
+    "duckie",
+    "duckiebot",
+    "cone",
+    "barrier",
+    "tree",
+    "house",
+    "truck",
+    "bus",
+    "building",
+    "sign_stop",
+    "sign_T_intersect",
+    "sign_yield",
+    "sign_left_T_intersect",
+    "sign_right_T_intersect",
+    "sign_4_way_intersect",
+    "sign_do_not_enter",
+    "sign_oneway_left",
+    "sign_oneway_right",
+    "sign_duck_crossing",
+    "sign_pedestrian",
+    "trafficlight",
+]
+OBJ_KIND_IDS = {k: i for i, k in enumerate(OBJ_KINDS)}
+
+
+@dataclasses.dataclass(frozen=True)
+class EnvConfig:
+    """Static environment configuration — hashable jit cache key.
+
+    Mirrors the reference's constructor kwargs
+    (simulator.py::Simulator.__init__ + envs/duckietown_env.py).
+    """
+
+    # Observation
+    obs_type: str = "rgb"  # "rgb" (on-device camera) | "state" (pose vector)
+    camera_width: int = 64
+    camera_height: int = 64
+    grayscale: bool = False
+    render_objects: bool = True
+    distortion: bool = False
+
+    # Episode handling
+    auto_reset: bool = True  # in-graph reset when done (vectorized idiom)
+
+    # Dynamics
+    frame_skip: int = C.DEFAULT_FRAME_SKIP
+    frame_rate: int = C.DEFAULT_FRAMERATE
+    max_steps: int = C.DEFAULT_MAX_STEPS
+    robot_speed: float = C.DEFAULT_ROBOT_SPEED
+
+    # Wheel-model inverse kinematics (DuckietownEnv); if use_wheel_model is
+    # False the action is raw [u_l, u_r] wheel commands (Simulator API).
+    use_wheel_model: bool = True
+    gain: float = C.DEFAULT_GAIN
+    trim: float = C.DEFAULT_TRIM
+    wheel_radius: float = C.DEFAULT_WHEEL_RADIUS
+    k: float = C.DEFAULT_K
+    limit: float = C.DEFAULT_LIMIT
+
+    # Reset / spawn
+    domain_rand: bool = False
+    accept_start_angle_deg: float = C.DEFAULT_ACCEPT_START_ANGLE_DEG
+    spawn_attempts: int = 32  # fixed-iteration in-graph spawn loop budget
+
+    # Reward
+    collision_termination: bool = True
+
+    @property
+    def delta_time(self) -> float:
+        return 1.0 / self.frame_rate
+
+    @property
+    def obs_channels(self) -> int:
+        return 1 if self.grayscale else 3
+
+
+@struct.dataclass
+class MapArrays:
+    """Compiled static map data. All arrays; leading map-stack axis optional.
+
+    Replaces the reference's per-tile dict grid + per-object python objects
+    (simulator.py::_load_map, ::_get_curve, objects.py, collision.py
+    precomputation) with fixed-shape arrays.
+    """
+
+    # Tile grid [H, W] (H rows along z, W cols along x; tiles[j][i] like the
+    # reference's yaml ordering)
+    tile_kind: Array       # int32 [H, W]
+    tile_angle: Array      # int32 [H, W], 0..3 (multiples of 90 deg)
+    drivable: Array        # bool  [H, W]
+    tile_tex: Array        # int32 [H, W] base texture id for the renderer
+
+    # Baked bezier lane curves per tile, world-space control points
+    # (reference: simulator.py::_get_curve). C = max curves per tile.
+    curves: Array          # f32 [H, W, C, 4, 3]
+    curve_mask: Array      # bool [H, W, C]
+
+    # Static objects, stacked (reference: collision.py precompute)
+    obj_pos: Array         # f32 [M, 3]
+    obj_y_rot: Array       # f32 [M] radians
+    obj_scale: Array       # f32 [M]
+    obj_kind: Array        # int32 [M]
+    obj_corners: Array     # f32 [M, 4, 2] footprint corners in (x, z)
+    obj_norms: Array       # f32 [M, 2, 2] SAT axes per obj
+    obj_safety_rad: Array  # f32 [M]
+    obj_height: Array      # f32 [M]
+    obj_halfdims: Array    # f32 [M, 2] half (width_x, depth_z) footprint
+    obj_mask: Array        # bool [M] (False = padding slot)
+    obj_optional: Array    # bool [M]
+    obj_is_dynamic: Array  # bool [M] (duckie pedestrians / duckiebots / lights)
+
+    # Spawn support
+    tile_size: Array       # f32 scalar
+    drivable_frac: Array   # f32 [H*W] normalized probability over drivable tiles
+
+    @property
+    def grid_shape(self):
+        return self.tile_kind.shape[-2], self.tile_kind.shape[-1]
+
+    @property
+    def max_curves(self):
+        return self.curves.shape[-3]
+
+    @property
+    def max_objects(self):
+        return self.obj_pos.shape[-2]
+
+
+@struct.dataclass
+class DynObjState:
+    """Per-map dynamic-object state, batched over the object slot axis [M].
+
+    Covers the reference's DuckieObj (walking pedestrian), TrafficLightObj
+    (phase timer) and DuckiebotObj (scripted lane follower) — objects.py.
+    Slots that are not dynamic are masked by MapArrays.obj_is_dynamic.
+    """
+
+    pos: Array        # f32 [M, 3] current position
+    angle: Array      # f32 [M]   current heading (y-rot, radians)
+    vel: Array        # f32 [M]   walk / drive speed (m/s)
+    walk_dist: Array  # f32 [M]   distance walked along current leg (DuckieObj)
+    wiggle: Array     # f32 [M]   gait wiggle amplitude (rad)
+    phase: Array      # int32 [M] traffic-light phase
+    time: Array       # f32 [M]   accumulated object time
+
+
+@struct.dataclass
+class LanePosition:
+    """Lane-relative pose (reference: simulator.py::get_lane_pos2)."""
+
+    dist: Array      # signed distance to lane centerline (left +, right -)
+    dot_dir: Array   # alignment of heading with curve tangent, clipped [-1,1]
+    angle_deg: Array
+    angle_rad: Array
+    in_lane: Array   # bool; replaces the reference's NotInLane exception
+
+
+@struct.dataclass
+class EnvState:
+    """Complete per-env simulation state (pytree; vmap over leading axis)."""
+
+    pos: Array           # f32 [3]
+    angle: Array         # f32 []
+    step_count: Array    # int32 []
+    speed: Array         # f32 [] |delta_pos|/dt of last physics substep
+    wheel_vels: Array    # f32 [2] last wheel velocities (m/s)
+    last_action: Array   # f32 [2]
+    rng: Array           # jax PRNG key
+    map_idx: Array       # int32 [] index into a stacked MapArrays
+
+    # Domain-randomization draws (reference: Simulator.reset, SURVEY §3.4);
+    # identity values when domain_rand=False.
+    robot_speed: Array   # f32 []
+    cam_fov_y: Array     # f32 [] degrees
+    cam_height: Array    # f32 []
+    cam_angle: Array     # f32 [] degrees (downward pitch)
+    cam_fwd_dist: Array  # f32 []
+    wheel_dist: Array    # f32 []
+    light_dir: Array     # f32 [3] normalized light direction
+    light_ambient: Array # f32 []
+    ground_color: Array  # f32 [3]
+    horizon_color: Array # f32 [3]
+    tex_variant: Array   # int32 [H, W] per-tile texture variant pick
+    obj_visible: Array   # bool [M] optional-object visibility draw
+
+    dyn: DynObjState     # dynamic object states
+
+
+@struct.dataclass
+class StepOutput:
+    obs: Array       # uint8 [h, w, c]
+    reward: Array    # f32 []
+    done: Array      # bool []
+    # info fields (reference: Simulator.get_agent_info, kept as arrays)
+    lane_dist: Array
+    lane_dot_dir: Array
+    lane_angle_deg: Array
+    in_lane: Array
+    collision: Array  # bool []
+    timestamp: Array  # f32 []
+
+
+def tree_dtype(x, dtype):
+    """Cast all float leaves of a pytree to dtype."""
+    import jax
+
+    def cast(leaf):
+        if hasattr(leaf, "dtype") and jnp.issubdtype(leaf.dtype, jnp.floating):
+            return leaf.astype(dtype)
+        return leaf
+
+    return jax.tree_util.tree_map(cast, x)
