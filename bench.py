@@ -1,0 +1,101 @@
+"""Benchmark: env-steps/s of the full step (dynamics + NPC + collision +
+reward + on-device render) on one chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Baseline: the reference publishes no numbers (BASELINE.md); its
+measurement tool is benchmark.py (single env, GL readback bound), with an
+engineering estimate of ~500 env-steps/s on a desktop GPU at 640x480.
+vs_baseline is reported against that 500 steps/s anchor.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+from dtown import env as env_core
+from dtown import map_loader
+from dtown.types import EnvConfig
+
+REFERENCE_STEPS_PER_S = 500.0  # BASELINE.md engineering estimate
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--map", default="udem1")
+    ap.add_argument("--envs", type=int, default=4096)
+    ap.add_argument("--size", type=int, default=64)
+    ap.add_argument("--iters", type=int, default=50)
+    ap.add_argument("--obs", default="rgb", choices=["rgb", "state"])
+    ap.add_argument("--domain-rand", action="store_true")
+    args = ap.parse_args()
+
+    cfg = EnvConfig(
+        obs_type=args.obs,
+        camera_width=args.size,
+        camera_height=args.size,
+        domain_rand=args.domain_rand,
+    )
+    maps = map_loader.load_map(args.map)
+
+    def reset_all(key):
+        keys = jax.random.split(key, args.envs)
+        idx = jnp.zeros((args.envs,), dtype=jnp.int32)
+        return jax.vmap(lambda k, i: env_core.reset(cfg, maps, k, i))(keys, idx)
+
+    @jax.jit
+    def v_reset(key):
+        return reset_all(key)
+
+    import functools
+
+    @functools.partial(jax.jit, static_argnums=(2,), donate_argnums=(0,))
+    def rollout(states, actions, n_iters):
+        """n_iters steps inside ONE jit via lax.scan — measures the pure
+        device throughput with no per-step host dispatch."""
+
+        def body(s, _):
+            s, out = jax.vmap(lambda st, a: env_core.step(cfg, maps, st, a))(
+                s, actions
+            )
+            return s, out.reward.sum()
+
+        states, rewards = jax.lax.scan(body, states, None, length=n_iters)
+        return states, rewards[-1]
+
+    print(f"device: {jax.devices()[0]}", file=sys.stderr)
+    t0 = time.time()
+    states = jax.block_until_ready(v_reset(jax.random.PRNGKey(0)))
+    print(f"reset compile+run: {time.time()-t0:.1f}s", file=sys.stderr)
+
+    actions = jnp.tile(jnp.array([0.4, 0.1], jnp.float32), (args.envs, 1))
+
+    t0 = time.time()
+    states, _ = jax.block_until_ready(rollout(states, actions, 2))
+    print(f"step compile+warmup: {time.time()-t0:.1f}s", file=sys.stderr)
+
+    t0 = time.time()
+    states, r = jax.block_until_ready(rollout(states, actions, args.iters))
+    dt = time.time() - t0
+    steps_per_s = args.envs * args.iters / dt
+    print(
+        f"{args.iters} x {args.envs} envs in {dt:.3f}s "
+        f"({steps_per_s/1e6:.3f} M steps/s)",
+        file=sys.stderr,
+    )
+
+    print(json.dumps({
+        "metric": f"env_steps_per_s_{args.size}x{args.size}_{args.obs}_{args.envs}envs_{args.map}",
+        "value": round(steps_per_s, 1),
+        "unit": "env-steps/s/chip",
+        "vs_baseline": round(steps_per_s / REFERENCE_STEPS_PER_S, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,199 @@
+"""On-device PPO: rollout scan + GAE + clipped surrogate update.
+
+Replaces the reference's (absent) training loop with the learner from
+BASELINE.json's north star: rollouts collected by a lax.scan over the
+vectorized env entirely on device — observations never reach the host —
+and the policy updated in place. Multi-chip: the caller shards the env
+batch over the mesh's 'envs' axis; gradients are averaged with a psum
+inside shard_map (see dtown/parallel/shard.py).
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from dtown import env as env_core
+from dtown.learn.networks import ActorCritic
+
+
+class PPOConfig(NamedTuple):
+    rollout_len: int = 128
+    lr: float = 3e-4
+    gamma: float = 0.99
+    gae_lambda: float = 0.95
+    clip_eps: float = 0.2
+    vf_coef: float = 0.5
+    ent_coef: float = 0.01
+    epochs: int = 2
+    minibatches: int = 4
+    max_grad_norm: float = 0.5
+
+
+class TrainState(NamedTuple):
+    params: dict
+    opt_state: optax.OptState
+    env_states: object  # batched EnvState
+    key: jax.Array
+
+
+def make_ppo(cfg, maps, num_envs: int, ppo: PPOConfig = PPOConfig()):
+    """Build (init_fn, train_step_fn) closures over static config."""
+    net = ActorCritic()
+    tx = optax.chain(
+        optax.clip_by_global_norm(ppo.max_grad_norm),
+        optax.adam(ppo.lr),
+    )
+
+    def obs_of(states):
+        return jax.vmap(lambda s: env_core.render_obs(cfg, maps, s))(states)
+
+    def init(key, env_key=None):
+        k_env, k_net, k_carry = jax.random.split(key, 3)
+        if env_key is not None:
+            # distinct env draws per shard while params stay identical
+            k_env = env_key
+            k_carry = jax.random.fold_in(env_key, 0x5EED)
+        keys = jax.random.split(k_env, num_envs)
+        idx = jnp.zeros((num_envs,), dtype=jnp.int32)
+        env_states = jax.vmap(lambda k, i: env_core.reset(cfg, maps, k, i))(
+            keys, idx
+        )
+        sample_obs = obs_of(env_states)
+        params = net.init(k_net, sample_obs[:2])
+        opt_state = tx.init(params)
+        return TrainState(params, opt_state, env_states, k_carry)
+
+    def policy_sample(params, obs, key):
+        mean, log_std, value = net.apply(params, obs)
+        std = jnp.exp(log_std)
+        noise = jax.random.normal(key, mean.shape, dtype=mean.dtype)
+        action = mean + std * noise
+        logp = -0.5 * jnp.sum(
+            ((action - mean) / std) ** 2 + 2.0 * log_std
+            + jnp.log(2.0 * jnp.pi),
+            axis=-1,
+        )
+        return action, logp, value
+
+    def rollout(ts: TrainState):
+        """Collect rollout_len transitions on device."""
+
+        def step_fn(carry, _):
+            env_states, key = carry
+            key, k_act = jax.random.split(key)
+            obs = obs_of(env_states)
+            action, logp, value = policy_sample(ts.params, obs, k_act)
+            act_clip = jnp.tanh(action)
+            env_states, out = jax.vmap(
+                lambda s, a: env_core.step(cfg, maps, s, a)
+            )(env_states, act_clip)
+            data = dict(
+                obs=obs, action=action, logp=logp, value=value,
+                reward=out.reward, done=out.done,
+            )
+            return (env_states, key), data
+
+        (env_states, key), traj = jax.lax.scan(
+            step_fn, (ts.env_states, ts.key), None, length=ppo.rollout_len
+        )
+        last_obs = obs_of(env_states)
+        _, _, last_value = net.apply(ts.params, last_obs)
+        return ts._replace(env_states=env_states, key=key), traj, last_value
+
+    def compute_gae(traj, last_value):
+        def body(carry, t):
+            gae, next_value = carry
+            delta = (
+                t["reward"]
+                + ppo.gamma * next_value * (1.0 - t["done"])
+                - t["value"]
+            )
+            gae = delta + ppo.gamma * ppo.gae_lambda * (1.0 - t["done"]) * gae
+            return (gae, t["value"]), gae
+
+        (_, _), advantages = jax.lax.scan(
+            body,
+            (jnp.zeros_like(last_value), last_value),
+            traj,
+            reverse=True,
+        )
+        returns = advantages + traj["value"]
+        return advantages, returns
+
+    def loss_fn(params, batch):
+        mean, log_std, value = net.apply(params, batch["obs"])
+        std = jnp.exp(log_std)
+        logp = -0.5 * jnp.sum(
+            ((batch["action"] - mean) / std) ** 2 + 2.0 * log_std
+            + jnp.log(2.0 * jnp.pi),
+            axis=-1,
+        )
+        ratio = jnp.exp(logp - batch["logp"])
+        adv = batch["adv"]
+        adv = (adv - adv.mean()) / (adv.std() + 1e-8)
+        pg1 = ratio * adv
+        pg2 = jnp.clip(ratio, 1 - ppo.clip_eps, 1 + ppo.clip_eps) * adv
+        pg_loss = -jnp.minimum(pg1, pg2).mean()
+        v_loss = 0.5 * ((value - batch["ret"]) ** 2).mean()
+        entropy = jnp.sum(log_std + 0.5 * jnp.log(2 * jnp.pi * jnp.e))
+        loss = pg_loss + ppo.vf_coef * v_loss - ppo.ent_coef * entropy
+        return loss, dict(pg_loss=pg_loss, v_loss=v_loss,
+                          mean_ratio=ratio.mean())
+
+    def update(ts: TrainState, traj, advantages, returns, axis_name=None):
+        T, B = traj["reward"].shape
+        flat = {
+            "obs": traj["obs"].reshape((T * B,) + traj["obs"].shape[2:]),
+            "action": traj["action"].reshape(T * B, -1),
+            "logp": traj["logp"].reshape(T * B),
+            "adv": advantages.reshape(T * B),
+            "ret": returns.reshape(T * B),
+        }
+        mb_size = (T * B) // ppo.minibatches
+
+        def epoch(carry, _):
+            params, opt_state, key = carry
+            key, k_perm = jax.random.split(key)
+            perm = jax.random.permutation(k_perm, T * B)
+
+            def minibatch(carry, m):
+                params, opt_state = carry
+                idx = jax.lax.dynamic_slice_in_dim(perm, m * mb_size, mb_size)
+                batch = {k: v[idx] for k, v in flat.items()}
+                (loss, aux), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True
+                )(params, batch)
+                if axis_name is not None:
+                    grads = jax.lax.pmean(grads, axis_name)
+                updates, opt_state = tx.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+                return (params, opt_state), loss
+
+            (params, opt_state), losses = jax.lax.scan(
+                minibatch, (params, opt_state),
+                jnp.arange(ppo.minibatches),
+            )
+            return (params, opt_state, key), losses.mean()
+
+        (params, opt_state, key), losses = jax.lax.scan(
+            epoch, (ts.params, ts.opt_state, ts.key), None, length=ppo.epochs
+        )
+        return ts._replace(params=params, opt_state=opt_state, key=key), losses
+
+    def train_step(ts: TrainState, axis_name=None):
+        """One PPO iteration: rollout -> GAE -> update. Jittable."""
+        ts, traj, last_value = rollout(ts)
+        advantages, returns = compute_gae(traj, last_value)
+        ts, losses = update(ts, traj, advantages, returns, axis_name)
+        metrics = dict(
+            loss=losses.mean(),
+            mean_reward=traj["reward"].mean(),
+            done_frac=traj["done"].mean(),
+        )
+        return ts, metrics
+
+    return init, train_step

@@ -1,0 +1,121 @@
+"""Sharded env stepping and PPO training over a device mesh.
+
+Replaces the communication backend the reference never had (SURVEY.md §5
+"Distributed communication backend"): env state lives sharded on the
+'envs' mesh axis, the step is embarrassingly parallel (auto-reset
+included — each shard resets its own envs), and the learner's gradients
+are averaged with an in-graph pmean over the mesh, which XLA lowers to an
+ICI all-reduce. Zero host round-trips in the loop.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from dtown import env as env_core
+from dtown.parallel.mesh import ENVS_AXIS, env_sharding, make_mesh, replicated
+
+
+def make_sharded_env(cfg, maps, num_envs: int, mesh=None):
+    """(reset, step) jitted with explicit shardings over the mesh.
+
+    num_envs must divide evenly over mesh devices.
+    """
+    mesh = mesh or make_mesh()
+    n_dev = mesh.devices.size
+    assert num_envs % n_dev == 0, (num_envs, n_dev)
+    s_env = env_sharding(mesh)
+    s_rep = replicated(mesh)
+
+    @functools.partial(jax.jit, out_shardings=None)
+    def sharded_reset(key):
+        keys = jax.random.split(key, num_envs)
+        if maps.tile_kind.ndim == 3:
+            idx = jnp.arange(num_envs, dtype=jnp.int32) % maps.tile_kind.shape[0]
+        else:
+            idx = jnp.zeros((num_envs,), dtype=jnp.int32)
+        states = jax.vmap(lambda k, i: env_core.reset(cfg, maps, k, i))(keys, idx)
+        return jax.lax.with_sharding_constraint(
+            states, jax.tree_util.tree_map(lambda _: s_env, states)
+        )
+
+    @jax.jit
+    def sharded_step(states, actions):
+        actions = jax.lax.with_sharding_constraint(actions, s_env)
+        return jax.vmap(lambda s, a: env_core.step(cfg, maps, s, a))(
+            states, actions
+        )
+
+    return mesh, sharded_reset, sharded_step
+
+
+def make_sharded_ppo(cfg, maps, num_envs: int, ppo=None, mesh=None):
+    """PPO train step partitioned with shard_map: env batch sharded over
+    'envs', params replicated, grads pmean'd over ICI."""
+    from dtown.learn.ppo import PPOConfig, make_ppo
+
+    mesh = mesh or make_mesh()
+    n_dev = mesh.devices.size
+    assert num_envs % n_dev == 0
+    per_dev = num_envs // n_dev
+    ppo = ppo or PPOConfig()
+
+    init_local, train_step_local = make_ppo(cfg, maps, per_dev, ppo)
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(ENVS_AXIS),),
+        out_specs=(P(), P(ENVS_AXIS), P()),
+        check_rep=False,
+    )
+    def _sharded_init(keys):
+        # shared net key -> identical params on every shard; per-shard env
+        # key (folded with the device index) -> distinct spawns
+        idx = jax.lax.axis_index(ENVS_AXIS)
+        ts = init_local(keys[0], env_key=jax.random.fold_in(keys[0], idx))
+        return ts.params, ts.env_states, ts.opt_state
+
+    def sharded_init(key):
+        keys = jnp.tile(key[None, :], (n_dev, 1))
+        params, env_states, opt_state = jax.jit(_sharded_init)(keys)
+        from dtown.learn.ppo import TrainState
+
+        return TrainState(params, opt_state, env_states, key)
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(), P(ENVS_AXIS), P()),
+        out_specs=((P(), P(), P(ENVS_AXIS), P()), P()),
+        check_rep=False,
+    )
+    def _sharded_train_step(params, opt_state, env_states, key):
+        from dtown.learn.ppo import TrainState
+
+        # fold the shard index into the PRNG so shards act independently
+        idx = jax.lax.axis_index(ENVS_AXIS)
+        local_key = jax.random.fold_in(key, idx)
+        ts = TrainState(params, opt_state, env_states, local_key)
+        ts, metrics = train_step_local(ts, axis_name=ENVS_AXIS)
+        metrics = jax.tree_util.tree_map(
+            lambda m: jax.lax.pmean(m, ENVS_AXIS), metrics
+        )
+        # params/opt_state stay replicated (same pmean'd grads everywhere)
+        return (ts.params, ts.opt_state, ts.env_states, key), metrics
+
+    @jax.jit
+    def sharded_train_step(ts):
+        (params, opt_state, env_states, key), metrics = _sharded_train_step(
+            ts.params, ts.opt_state, ts.env_states, ts.key
+        )
+        from dtown.learn.ppo import TrainState
+
+        new_key = jax.random.fold_in(key, 1)
+        return TrainState(params, opt_state, env_states, new_key), metrics
+
+    return mesh, sharded_init, sharded_train_step

@@ -1,0 +1,60 @@
+"""Fisheye camera distortion as a precomputed remap gather.
+
+The reference warps the rendered rectilinear image with the Duckiebot's
+fisheye calibration through cv2.remap (reference:
+distortion.py::Distortion.distort — hard-coded K/D/R/P matrices,
+SURVEY.md §2.14). Here the same plumb-bob radial model is inverted
+offline (host numpy, Newton iterations) into a static source-coordinate
+grid; applying distortion on device is then a single gather — no OpenCV,
+no host round-trip.
+
+The exact calibration numbers are not recorded in SURVEY.md (empty
+reference mount); the defaults below are representative Duckiebot-class
+values expressed resolution-independently.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax.numpy as jnp
+import numpy as np
+
+# Normalized intrinsics (fraction of width/height) and radial coefficients
+FX, FY = 0.477, 0.643
+CX, CY = 0.5, 0.5
+K1, K2, K3 = -0.28, 0.07, 0.0
+
+
+@functools.lru_cache(maxsize=None)
+def _remap_grid(width: int, height: int):
+    """Integer source-pixel grid [H, W] (flattened index) for the warp."""
+    fx, fy = FX * width, FY * height
+    cx, cy = CX * width, CY * height
+
+    u, v = np.meshgrid(np.arange(width) + 0.5, np.arange(height) + 0.5)
+    # normalized distorted coordinates
+    xd = (u - cx) / fx
+    yd = (v - cy) / fy
+
+    # invert r_d = r_u * (1 + k1 r_u^2 + k2 r_u^4 + k3 r_u^6) by Newton
+    rd = np.hypot(xd, yd)
+    ru = rd.copy()
+    for _ in range(8):
+        f = ru * (1 + K1 * ru**2 + K2 * ru**4 + K3 * ru**6) - rd
+        fp = 1 + 3 * K1 * ru**2 + 5 * K2 * ru**4 + 7 * K3 * ru**6
+        ru = ru - f / np.maximum(fp, 1e-6)
+    scale = np.where(rd > 1e-9, ru / np.maximum(rd, 1e-9), 1.0)
+    xu = xd * scale
+    yu = yd * scale
+
+    su = np.clip((xu * fx + cx).astype(np.int32), 0, width - 1)
+    sv = np.clip((yu * fy + cy).astype(np.int32), 0, height - 1)
+    return sv * width + su  # numpy: trace-safe cached constant
+
+
+def apply_distortion(cfg, rgb):
+    """Warp a rectilinear frame [H, W, C] into the fisheye view."""
+    H, W = cfg.camera_height, cfg.camera_width
+    grid = jnp.asarray(_remap_grid(W, H))
+    flat = rgb.reshape(H * W, rgb.shape[-1])
+    return flat[grid.reshape(-1)].reshape(H, W, rgb.shape[-1])

@@ -1,0 +1,291 @@
+"""On-device camera renderer: analytic ground + primitive ray caster.
+
+Replaces the reference's OpenGL render-to-FBO + glReadPixels pipeline
+(reference: simulator.py::_render_img + graphics.py::create_frame_buffers,
+SURVEY.md §3.3 — the per-step GPU->host readback this rebuild removes).
+
+Design: one pure function state -> uint8 image, vmapped over envs.
+ * Ground/tiles: per-pixel ray vs ground plane, tile texture gather from
+   the procedural atlas (nearest sample, per-tile variant + orientation).
+ * Objects: the nearest MAX_VIS objects are ray-cast against their
+   primitive-soup models (render/meshes.py) with a lax.fori_loop over
+   objects — keeps peak memory at one t/color buffer per pixel instead of
+   materializing [H, W, K, P] candidates.
+ * Lighting: per-env directional light + ambient (domain randomized).
+Everything is elementwise + gathers: XLA fuses it into a few kernels; a
+hand-written Pallas version of the hot path lives in pallas_ground.py.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dtown import constants as C
+from dtown.geometry import get_dir_vec, get_right_vec, sincos
+from dtown.render import meshes as meshlib
+from dtown.render import textures as texlib
+
+_EPS = 1e-4
+
+# 90-degree cos/sin tables for tile-orientation uv rotation.
+# NOTE: module/cache-level constants are kept as numpy (never jnp): if the
+# first import happens inside a jit/shard_map trace, jnp constants can
+# escape as tracers (UnexpectedTracerError); numpy is always concrete.
+_CTAB = np.array([1.0, 0.0, -1.0, 0.0], dtype=np.float32)
+_STAB = np.array([0.0, 1.0, 0.0, -1.0], dtype=np.float32)
+
+
+@functools.lru_cache(maxsize=1)
+def _atlas_flat():
+    atlas = texlib.tile_atlas()  # [K, V, T, T, 3] uint8
+    return atlas.reshape(-1, 3), atlas.shape
+
+
+def camera_rays(cfg, state):
+    """Per-pixel unit ray directions [H, W, 3] + eye position [3].
+
+    reference: the gluPerspective / gluLookAt setup in _render_img:
+    eye = pos + (0, cam_height, 0) + cam_fwd_dist * dir_vec, view pitched
+    down by cam_angle, vertical fov cam_fov_y.
+    """
+    H, W = cfg.camera_height, cfg.camera_width
+    fwd_flat = get_dir_vec(state.angle)
+    right = get_right_vec(state.angle)
+    up_y = jnp.array([0.0, 1.0, 0.0], dtype=jnp.float32)
+
+    pitch = jnp.deg2rad(state.cam_angle)
+    sp, cp = sincos(pitch)
+    forward = cp * fwd_flat - sp * up_y
+    up = cp * up_y + sp * fwd_flat
+
+    eye = state.pos + state.cam_height * up_y + state.cam_fwd_dist * fwd_flat
+
+    tan_half = jnp.tan(0.5 * jnp.deg2rad(state.cam_fov_y))
+    aspect = W / H
+    ys = (0.5 - (jnp.arange(H, dtype=jnp.float32) + 0.5) / H) * 2.0  # +1 top
+    xs = ((jnp.arange(W, dtype=jnp.float32) + 0.5) / W - 0.5) * 2.0
+    yg = ys[:, None, None]
+    xg = xs[None, :, None]
+    d = (
+        forward[None, None, :]
+        + xg * (tan_half * aspect) * right[None, None, :]
+        + yg * tan_half * up[None, None, :]
+    )
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    return d, eye
+
+
+def _ground_color(cfg, maps, state, rays, eye):
+    """Tile-textured ground + sky background. Returns (rgb [H,W,3] f32,
+    t_bg [H,W] f32)."""
+    atlas_np, (K, V, TEXN, _, _) = _atlas_flat()
+    atlas_flat = jnp.asarray(atlas_np)
+
+    dy = rays[..., 1]
+    hits_ground = dy < -1e-6
+    t = jnp.where(hits_ground, -eye[1] / jnp.where(hits_ground, dy, -1.0),
+                  jnp.inf)
+    px = eye[0] + t * rays[..., 0]
+    pz = eye[2] + t * rays[..., 2]
+
+    ts = maps.tile_size
+    fi = jnp.floor(px / ts)
+    fj = jnp.floor(pz / ts)
+    Hg, Wg = maps.grid_shape
+    in_grid = (fi >= 0) & (fi < Wg) & (fj >= 0) & (fj < Hg) & hits_ground
+    i = jnp.clip(fi.astype(jnp.int32), 0, Wg - 1)
+    j = jnp.clip(fj.astype(jnp.int32), 0, Hg - 1)
+
+    kind = maps.tile_tex[j, i]
+    variant = state.tex_variant[j, i]
+    tangle = maps.tile_angle[j, i]
+
+    # uv in tile, rotated back to the texture's base orientation
+    du = px / ts - fi - 0.5
+    dv = pz / ts - fj - 0.5
+    c = jnp.asarray(_CTAB)[tangle]
+    s = jnp.asarray(_STAB)[tangle]
+    bu = du * c - dv * s + 0.5
+    bv = dv * c + du * s + 0.5
+    tx = jnp.clip((bu * TEXN).astype(jnp.int32), 0, TEXN - 1)
+    ty = jnp.clip((bv * TEXN).astype(jnp.int32), 0, TEXN - 1)
+
+    flat_idx = ((kind * V + variant) * TEXN + ty) * TEXN + tx
+    texel = atlas_flat[flat_idx].astype(jnp.float32) * (1.0 / 255.0)
+
+    # out-of-grid ground uses the (randomizable) ground color
+    ground_rgb = jnp.where(in_grid[..., None], texel,
+                           state.ground_color[None, None, :])
+
+    # flat ground shading from the directional light
+    diffuse = jnp.maximum(0.0, -state.light_dir[1])
+    shade = state.light_ambient + (1.0 - state.light_ambient) * diffuse
+    ground_rgb = ground_rgb * shade
+
+    # sky: horizon color, slightly darker overhead
+    sky = state.horizon_color[None, None, :] * (
+        1.0 - 0.35 * jnp.maximum(0.0, dy)[..., None]
+    )
+    rgb = jnp.where(hits_ground[..., None], ground_rgb, sky)
+    t_bg = jnp.where(hits_ground, t, jnp.inf)
+    return rgb, t_bg
+
+
+def _rot_xz(x, z, s, c):
+    """Rotate (x, z) by the angle whose sincos is (s, c) — matches
+    geometry.rotate_point_xz convention."""
+    return x * c + z * s, z * c - x * s
+
+
+def _intersect_prims(o, d, prim):
+    """Ray vs one object's primitive set, model space.
+
+    o, d: [H, W, 3]; prim arrays are [P, ...]. Returns (t [H,W], normal
+    [H,W,3], color_idx [H,W] int32 in [0,P), hit [H,W]).
+    """
+    P = prim["type"].shape[0]
+    oc = o[..., None, :] - prim["center"][None, None]      # [H,W,P,3]
+    dd = d[..., None, :]                                   # [H,W,1,3]
+
+    # sphere
+    b = jnp.sum(oc * dd, axis=-1)
+    cc = jnp.sum(oc * oc, axis=-1) - prim["param"][None, None, :, 0] ** 2
+    disc = b * b - cc
+    sph_hit = disc > 0.0
+    t_sph = -b - jnp.sqrt(jnp.maximum(disc, 0.0))
+    sph_hit = sph_hit & (t_sph > _EPS)
+
+    # box (axis-aligned in model space)
+    he = prim["param"][None, None]                         # [1,1,P,3]
+    inv_d = 1.0 / jnp.where(jnp.abs(dd) < 1e-9,
+                            jnp.where(dd >= 0, 1e-9, -1e-9), dd)
+    t1 = (-he - oc) * inv_d
+    t2 = (he - oc) * inv_d
+    tmin_ax = jnp.minimum(t1, t2)
+    tmax_ax = jnp.maximum(t1, t2)
+    tmin = jnp.max(tmin_ax, axis=-1)
+    tmax = jnp.min(tmax_ax, axis=-1)
+    box_hit = (tmax >= jnp.maximum(tmin, _EPS))
+    t_box = jnp.where(tmin > _EPS, tmin, tmax)
+    box_hit = box_hit & (t_box > _EPS)
+
+    is_box = (prim["type"] == meshlib.BOX)[None, None]
+    t_p = jnp.where(is_box, t_box, t_sph)
+    hit_p = jnp.where(is_box, box_hit, sph_hit) & prim["mask"][None, None]
+    t_p = jnp.where(hit_p, t_p, jnp.inf)
+
+    best = jnp.argmin(t_p, axis=-1)                        # [H,W]
+    t_best = jnp.take_along_axis(t_p, best[..., None], axis=-1)[..., 0]
+    hit = jnp.isfinite(t_best)
+
+    # normal of the winning primitive
+    oc_b = jnp.take_along_axis(oc, best[..., None, None], axis=-2)[..., 0, :]
+    he_b = prim["param"][best]                              # [H,W,3]
+    p_hit = o + t_best[..., None] * d
+    c_b = prim["center"][best]
+    rel = p_hit - c_b
+    # sphere normal
+    n_sph = rel / jnp.maximum(
+        jnp.linalg.norm(rel, axis=-1, keepdims=True), 1e-9
+    )
+    # box normal: dominant axis of rel / he
+    ratio = rel / jnp.maximum(he_b, 1e-9)
+    ax = jnp.argmax(jnp.abs(ratio), axis=-1)
+    n_box = (
+        jax.nn.one_hot(ax, 3, dtype=o.dtype)
+        * jnp.sign(jnp.take_along_axis(ratio, ax[..., None], axis=-1))
+    )
+    is_box_b = (prim["type"][best] == meshlib.BOX)[..., None]
+    normal = jnp.where(is_box_b, n_box, n_sph)
+    return t_best, normal, best, hit
+
+
+def _render_objects(cfg, maps, state, rays, eye, rgb, t_bg):
+    """Composite the nearest MAX_VIS objects over the background."""
+    prim_np = meshlib.prim_tables()
+    prim = {k: jnp.asarray(v) for k, v in prim_np.items()}
+    Kvis = cfg.max_visible_objects
+    M = maps.max_objects
+    if M == 0 or Kvis == 0:
+        return rgb, t_bg
+    Kvis = min(Kvis, M)
+
+    from dtown.env import active_objects
+
+    active = active_objects(maps, state)
+    dist = jnp.linalg.norm(state.dyn.pos - eye[None, :], axis=-1)
+    score = jnp.where(active, -dist, -jnp.inf)
+    _, top_idx = jax.lax.top_k(score, Kvis)
+
+    def body(k, carry):
+        rgb, t_best = carry
+        m = top_idx[k]
+        ok = active[m]
+        opos = state.dyn.pos[m]
+        oang = state.dyn.angle[m]
+        oscale = maps.obj_scale[m]
+        okind = maps.obj_kind[m]
+        ophase = state.dyn.phase[m]
+
+        s_r, c_r = sincos(-oang)
+        off = (eye - opos) / jnp.maximum(oscale, 1e-6)
+        ox, oz = _rot_xz(off[0], off[2], s_r, c_r)
+        o_model = jnp.stack([ox, off[1] / 1.0, oz])
+        dx, dz = _rot_xz(rays[..., 0], rays[..., 2], s_r, c_r)
+        d_model = jnp.stack([dx, rays[..., 1], dz], axis=-1)
+
+        pk = {key: v[okind] for key, v in prim.items()}
+        o_b = jnp.broadcast_to(o_model, d_model.shape)
+        t_m, n_model, best_p, hit = _intersect_prims(o_b, d_model, pk)
+        t_w = t_m * oscale
+        closer = hit & (t_w < t_best) & ok
+
+        # normal back to world (inverse rotation)
+        s_f, c_f = sincos(oang)
+        nx, nz = _rot_xz(n_model[..., 0], n_model[..., 2], s_f, c_f)
+        n_world = jnp.stack([nx, n_model[..., 1], nz], axis=-1)
+
+        base_col = pk["color"][best_p]
+        # traffic-light lamp: green on phase 1
+        is_lamp = pk["phase"][best_p]
+        lamp_col = jnp.where(
+            ophase == 1,
+            jnp.array([0.1, 0.85, 0.15], dtype=rgb.dtype),
+            jnp.array([0.9, 0.1, 0.1], dtype=rgb.dtype),
+        )
+        base_col = jnp.where(is_lamp[..., None], lamp_col, base_col)
+
+        diffuse = jnp.maximum(
+            0.0, -jnp.sum(n_world * state.light_dir[None, None, :], axis=-1)
+        )
+        shade = state.light_ambient + (1.0 - state.light_ambient) * diffuse
+        col = base_col * shade[..., None]
+
+        rgb = jnp.where(closer[..., None], col, rgb)
+        t_best = jnp.where(closer, t_w, t_best)
+        return rgb, t_best
+
+    rgb, t_bg = jax.lax.fori_loop(0, Kvis, body, (rgb, t_bg))
+    return rgb, t_bg
+
+
+def render_frame(cfg, maps, state):
+    """Render one env's camera observation -> uint8 [H, W, C]."""
+    rays, eye = camera_rays(cfg, state)
+    rgb, t_bg = _ground_color(cfg, maps, state, rays, eye)
+    if cfg.render_objects:
+        rgb, t_bg = _render_objects(cfg, maps, state, rays, eye, rgb, t_bg)
+    if cfg.distortion:
+        from dtown.render.distortion import apply_distortion
+
+        rgb = apply_distortion(cfg, rgb)
+    rgb = jnp.clip(rgb, 0.0, 1.0)
+    if cfg.grayscale:
+        luma = (
+            0.299 * rgb[..., 0] + 0.587 * rgb[..., 1] + 0.114 * rgb[..., 2]
+        )
+        rgb = luma[..., None]
+    return (rgb * 255.0 + 0.5).astype(jnp.uint8)

@@ -100,6 +100,7 @@ class EnvConfig:
     camera_height: int = 64
     grayscale: bool = False
     render_objects: bool = True
+    max_visible_objects: int = 8  # nearest-K object culling in the renderer
     distortion: bool = False
 
     # Episode handling
