@@ -12,10 +12,15 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 
 import jax
+
+if "--cpu" in sys.argv:
+    # sitecustomize pins jax_platforms=axon; env vars alone cannot undo it
+    jax.config.update("jax_platforms", "cpu")
 import jax.numpy as jnp
 
 from dtown import env as env_core
@@ -33,6 +38,10 @@ def main():
     ap.add_argument("--iters", type=int, default=50)
     ap.add_argument("--obs", default="rgb", choices=["rgb", "state"])
     ap.add_argument("--domain-rand", action="store_true")
+    ap.add_argument("--no-autoreset", action="store_true")
+    ap.add_argument("--no-objects", action="store_true")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force local CPU backend (handled at import)")
     args = ap.parse_args()
 
     cfg = EnvConfig(
@@ -40,6 +49,8 @@ def main():
         camera_width=args.size,
         camera_height=args.size,
         domain_rand=args.domain_rand,
+        auto_reset=not args.no_autoreset,
+        render_objects=not args.no_objects,
     )
     maps = map_loader.load_map(args.map)
 

@@ -87,14 +87,11 @@ def physics_substep(pos, angle, action, robot_speed, wheel_dist, dt):
 
 
 def integrate(pos, angle, action, robot_speed, wheel_dist, dt, frame_skip: int):
-    """frame_skip physics substeps via lax.scan (static trip count)."""
-
-    def body(carry, _):
-        p, a = carry
-        p, a, speed, wv = physics_substep(p, a, action, robot_speed, wheel_dist, dt)
-        return (p, a), (speed, wv)
-
-    (pos, angle), (speeds, wvs) = jax.lax.scan(
-        body, (pos, angle), None, length=frame_skip
-    )
-    return pos, angle, speeds[-1], wvs[-1]
+    """frame_skip physics substeps, unrolled (static, small trip count)."""
+    speed = jnp.zeros_like(angle)
+    wheel_vels = action * robot_speed[..., None]
+    for _ in range(frame_skip):
+        pos, angle, speed, wheel_vels = physics_substep(
+            pos, angle, action, robot_speed, wheel_dist, dt
+        )
+    return pos, angle, speed, wheel_vels

@@ -25,6 +25,9 @@ from dtown.geometry import bezier_point, bezier_tangent, get_lane_pos2
 from dtown.types import EnvConfig, EnvState, MapArrays, StepOutput
 
 
+from dtown.utils.staticcheck import concrete_any as _concrete_any
+
+
 def select_map(maps: MapArrays, map_idx) -> MapArrays:
     """Per-env map gather for stacked multi-map arrays (no-op for single)."""
     if maps.tile_kind.ndim == 2:
@@ -121,6 +124,36 @@ def _sample_spawn(cfg: EnvConfig, maps: MapArrays, state_objs, key):
     return pos, angle
 
 
+def _bank_spawn(cfg: EnvConfig, maps: MapArrays, dyn_pos, obj_active, key):
+    """Draw a start pose from the precomputed spawn bank.
+
+    Tries NTRY candidate bank entries and keeps the first that clears the
+    *current* dynamic-object positions (the bank was validated against
+    static objects and initial NPC poses only).
+    """
+    # Bank entries are sorted by |lane angle| (spawn_bank.py), so the
+    # acceptance filter is a prefix: count accepted entries once and draw
+    # uniform indices below the cut.
+    ok = maps.spawn_mask & (
+        jnp.abs(maps.spawn_lane_deg) < cfg.accept_start_angle_deg
+    )
+    n_ok = jnp.maximum(jnp.sum(ok.astype(jnp.int32)), 1)
+    NTRY = 4
+    idxs = jax.random.randint(key, (NTRY,), 0, n_ok)
+    cand_pos = maps.spawn_pos[idxs]        # [NTRY, 3]
+    d = jnp.linalg.norm(
+        cand_pos[:, None, :] - dyn_pos[None, :, :], axis=-1
+    )  # [NTRY, M]
+    blocked = jnp.any(
+        obj_active[None, :]
+        & (d < (C.MIN_SPAWN_OBJ_DIST + maps.obj_safety_rad[None, :])),
+        axis=-1,
+    )
+    pick = jnp.argmax(~blocked)  # first clear candidate (or 0)
+    idx = idxs[pick]
+    return maps.spawn_pos[idx], maps.spawn_angle[idx]
+
+
 def reset(cfg: EnvConfig, maps: MapArrays, key, map_idx=None) -> EnvState:
     """Sample a fresh episode state (reference: Simulator.reset, SURVEY §3.4)."""
     if map_idx is None:
@@ -131,9 +164,12 @@ def reset(cfg: EnvConfig, maps: MapArrays, key, map_idx=None) -> EnvState:
 
     dyn = objlib.init_dyn_state(m)
     obj_active = m.obj_mask & (~m.obj_optional | rand["obj_visible"])
-    pos, angle = _sample_spawn(
-        cfg, m, (m.obj_corners, m.obj_norms, obj_active), k_spawn
-    )
+    if cfg.spawn_mode == "bank":
+        pos, angle = _bank_spawn(cfg, m, dyn.pos, obj_active, k_spawn)
+    else:
+        pos, angle = _sample_spawn(
+            cfg, m, (m.obj_corners, m.obj_norms, obj_active), k_spawn
+        )
 
     zero = jnp.zeros((), dtype=jnp.float32)
     return EnvState(
@@ -154,7 +190,8 @@ def reset(cfg: EnvConfig, maps: MapArrays, key, map_idx=None) -> EnvState:
 # Observation
 # ---------------------------------------------------------------------
 
-def render_obs(cfg: EnvConfig, maps: MapArrays, state: EnvState):
+def render_obs(cfg: EnvConfig, maps: MapArrays, state: EnvState,
+               lane_pos=None):
     """Produce the observation for the current state.
 
     obs_type == "state": compact state vector (pose + lane position), the
@@ -164,7 +201,9 @@ def render_obs(cfg: EnvConfig, maps: MapArrays, state: EnvState):
     """
     maps = select_map(maps, state.map_idx)
     if cfg.obs_type == "state":
-        lp = get_lane_pos2(maps, state.pos, state.angle)
+        lp = lane_pos if lane_pos is not None else get_lane_pos2(
+            maps, state.pos, state.angle
+        )
         return jnp.stack(
             [
                 state.pos[0],
@@ -222,22 +261,34 @@ def step(cfg: EnvConfig, maps: MapArrays, state: EnvState, action):
     )
 
     # Dynamic objects advance frame_skip substeps too
-    # (reference: update_physics steps every obj each iteration)
+    # (reference: update_physics steps every obj each iteration).
+    # Statically skipped when the map has no dynamic objects.
+    has_dyn = _concrete_any(m.obj_is_dynamic)
+    has_obj = _concrete_any(m.obj_mask)
     dyn = state.dyn
-    for _ in range(cfg.frame_skip):
-        dyn = objlib.step_dynamic_objects(m, dyn, dt)
+    if has_dyn:
+        for _ in range(cfg.frame_skip):
+            dyn = objlib.step_dynamic_objects(m, dyn, dt)
 
     step_count = state.step_count + cfg.frame_skip
     obj_active = active_objects(m, state)
-    obj_corners, obj_norms = objlib.dynamic_corners(m, dyn)
+    if has_dyn:
+        obj_corners, obj_norms = objlib.dynamic_corners(m, dyn)
+    else:
+        obj_corners, obj_norms = m.obj_corners, m.obj_norms
 
-    valid, collided = physics.valid_pose(
-        m, pos, angle, obj_corners, obj_norms, obj_active
-    )
+    if has_obj:
+        valid, collided = physics.valid_pose(
+            m, pos, angle, obj_corners, obj_norms, obj_active
+        )
+        col_penalty = physics.proximity_penalty(
+            pos, angle, dyn.pos, m.obj_safety_rad, obj_active,
+            m.obj_is_dynamic,
+        )
+    else:
+        valid, collided = physics.valid_pose_no_objects(m, pos, angle)
+        col_penalty = jnp.float32(0.0)
     lp = get_lane_pos2(m, pos, angle)
-    col_penalty = physics.proximity_penalty(
-        pos, angle, dyn.pos, m.obj_safety_rad, obj_active, m.obj_is_dynamic
-    )
     reward_alive = physics.compute_reward(speed, lp, col_penalty)
 
     truncated = step_count >= cfg.max_steps
@@ -265,7 +316,10 @@ def step(cfg: EnvConfig, maps: MapArrays, state: EnvState, action):
             fresh,
         )
 
-    obs = render_obs(cfg, maps, new_state)
+    # The lane query can be reused for the obs only while the state was
+    # not auto-reset (a fresh spawn has a different pose).
+    reuse_lp = None if cfg.auto_reset else lp
+    obs = render_obs(cfg, maps, new_state, lane_pos=reuse_lp)
     out = StepOutput(
         obs=obs,
         reward=reward,

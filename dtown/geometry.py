@@ -157,17 +157,17 @@ def bezier_closest(cps, p, n_iters: int = C.BEZIER_CLOSEST_ITERS):
     t_bot = jnp.zeros(p.shape[:-1], dtype=cps.dtype)
     t_top = jnp.ones(p.shape[:-1], dtype=cps.dtype)
 
-    def body(_, carry):
-        t_bot, t_top = carry
+    # Unrolled (static 8 iterations): avoids an XLA while-loop, letting
+    # the whole search fuse into straight-line vector code.
+    for _ in range(n_iters):
         mid = 0.5 * (t_bot + t_top)
         d_bot = jnp.sum((bezier_point(cps, t_bot) - p) ** 2, axis=-1)
         d_top = jnp.sum((bezier_point(cps, t_top) - p) ** 2, axis=-1)
         keep_bot = d_bot < d_top
-        new_top = jnp.where(keep_bot, mid, t_top)
-        new_bot = jnp.where(keep_bot, t_bot, mid)
-        return new_bot, new_top
-
-    t_bot, t_top = jax.lax.fori_loop(0, n_iters, body, (t_bot, t_top))
+        t_bot, t_top = (
+            jnp.where(keep_bot, t_bot, mid),
+            jnp.where(keep_bot, mid, t_top),
+        )
     return 0.5 * (t_bot + t_top)
 
 

@@ -34,9 +34,10 @@ from dtown.types import MapArrays
 
 MAPS_DIR = os.path.join(os.path.dirname(__file__), "maps")
 
-# Default object-count budget per map (static shape; padded with masked
-# slots). Chosen to cover the shipped maps, see tests/test_maps.py.
-DEFAULT_MAX_OBJECTS = 32
+# Object budgets are rounded up to a multiple of this (static shape;
+# padded with masked slots). Small multiples keep the masked SAT /
+# proximity math cheap on object-light maps.
+OBJECT_BUDGET_QUANTUM = 8
 
 
 def list_maps():
@@ -127,7 +128,8 @@ def compile_map(data: dict, max_objects: Optional[int] = None) -> MapArrays:
 
     # --- Objects -------------------------------------------------------
     objs = data.get("objects", []) or []
-    M = max_objects or max(DEFAULT_MAX_OBJECTS, len(objs))
+    q = OBJECT_BUDGET_QUANTUM
+    M = max_objects or max(q, -(-len(objs) // q) * q)
     if len(objs) > M:
         raise ValueError(f"map has {len(objs)} objects > budget {M}")
 
@@ -179,6 +181,13 @@ def compile_map(data: dict, max_objects: Optional[int] = None) -> MapArrays:
     driv_flat = drivable.reshape(-1).astype(np.float64)
     total = max(driv_flat.sum(), 1.0)
 
+    from dtown.spawn_bank import compute_spawn_bank
+
+    sp_pos, sp_angle, sp_deg, sp_mask = compute_spawn_bank(
+        tile_size, drivable, curves, curve_mask, obj_corners, obj_norms,
+        obj_pos, obj_safety_rad, obj_mask,
+    )
+
     f32 = lambda a: jnp.asarray(a, dtype=jnp.float32)
     return MapArrays(
         tile_kind=jnp.asarray(tile_kind),
@@ -201,6 +210,10 @@ def compile_map(data: dict, max_objects: Optional[int] = None) -> MapArrays:
         obj_is_dynamic=jnp.asarray(obj_is_dynamic),
         tile_size=f32(tile_size),
         drivable_frac=f32(driv_flat / total),
+        spawn_pos=f32(sp_pos),
+        spawn_angle=f32(sp_angle),
+        spawn_lane_deg=f32(sp_deg),
+        spawn_mask=jnp.asarray(sp_mask),
     )
 
 
@@ -254,6 +267,10 @@ def stack_maps(map_names, max_objects: Optional[int] = None):
             obj_is_dynamic=pad(m.obj_is_dynamic, False, 0),
             tile_size=m.tile_size,
             drivable_frac=driv,
+            spawn_pos=m.spawn_pos,
+            spawn_angle=m.spawn_angle,
+            spawn_lane_deg=m.spawn_lane_deg,
+            spawn_mask=m.spawn_mask,
         )
 
     padded = [pad_map(m) for m in compiled]

@@ -95,23 +95,26 @@ def _duckiebot_step(maps, dyn: DynObjState, dt):
 
 
 def step_dynamic_objects(maps, dyn: DynObjState, dt) -> DynObjState:
-    """One masked update of every dynamic object slot."""
+    """One masked update of every dynamic object slot. Per-species phases
+    are statically dropped when the map has none of that species."""
+    from dtown.utils.staticcheck import concrete_any
+
     is_duckie = maps.obj_kind == T.OBJ_KIND_IDS["duckie"]
     is_bot = maps.obj_kind == T.OBJ_KIND_IDS["duckiebot"]
     dyn_mask = maps.obj_is_dynamic
 
-    d_pos, d_angle, d_walk = _duckie_step(dyn, dt)
-    b_pos, b_angle = _duckiebot_step(maps, dyn, dt)
-
-    duckie_sel = (dyn_mask & is_duckie)[:, None]
-    bot_sel = (dyn_mask & is_bot)[:, None]
-    pos = jnp.where(duckie_sel, d_pos, jnp.where(bot_sel, b_pos, dyn.pos))
-    angle = jnp.where(
-        dyn_mask & is_duckie,
-        d_angle,
-        jnp.where(dyn_mask & is_bot, b_angle, dyn.angle),
-    )
-    walk = jnp.where(dyn_mask & is_duckie, d_walk, dyn.walk_dist)
+    pos, angle, walk = dyn.pos, dyn.angle, dyn.walk_dist
+    if concrete_any(dyn_mask & is_duckie):
+        d_pos, d_angle, d_walk = _duckie_step(dyn, dt)
+        sel = dyn_mask & is_duckie
+        pos = jnp.where(sel[:, None], d_pos, pos)
+        angle = jnp.where(sel, d_angle, angle)
+        walk = jnp.where(sel, d_walk, walk)
+    if concrete_any(dyn_mask & is_bot):
+        b_pos, b_angle = _duckiebot_step(maps, dyn, dt)
+        sel = dyn_mask & is_bot
+        pos = jnp.where(sel[:, None], b_pos, pos)
+        angle = jnp.where(sel, b_angle, angle)
 
     time = dyn.time + dt
     phase = jnp.floor(time / TRAFFICLIGHT_PERIOD).astype(jnp.int32) % 2

@@ -167,6 +167,23 @@ def valid_pose(maps, pos, angle, obj_corners, obj_norms, obj_active,
     return all_drivable & ~collided, collided
 
 
+def valid_pose_no_objects(maps, pos, angle, safety_factor=1.0):
+    """valid_pose specialization for maps without collidable objects."""
+    center = actual_center(pos, angle)
+    f_vec = get_dir_vec(angle)
+    r_vec = get_right_vec(angle)
+    l_pos = center - (safety_factor * 0.5 * C.ROBOT_WIDTH) * r_vec
+    r_pos = center + (safety_factor * 0.5 * C.ROBOT_WIDTH) * r_vec
+    f_pos = center + (safety_factor * 0.5 * C.ROBOT_LENGTH) * f_vec
+    all_drivable = (
+        drivable_at(maps, center)
+        & drivable_at(maps, l_pos)
+        & drivable_at(maps, r_pos)
+        & drivable_at(maps, f_pos)
+    )
+    return all_drivable, jnp.zeros_like(all_drivable)
+
+
 def proximity_penalty(pos, angle, obj_pos, obj_safety_rad, obj_active,
                       obj_is_dynamic):
     """Safety-circle overlap penalty (<= 0).

@@ -26,23 +26,8 @@ import numpy as np
 from dtown import constants as C
 from dtown.geometry import get_dir_vec, get_right_vec, sincos
 from dtown.render import meshes as meshlib
-from dtown.render import textures as texlib
 
 _EPS = 1e-4
-
-# 90-degree cos/sin tables for tile-orientation uv rotation.
-# NOTE: module/cache-level constants are kept as numpy (never jnp): if the
-# first import happens inside a jit/shard_map trace, jnp constants can
-# escape as tracers (UnexpectedTracerError); numpy is always concrete.
-_CTAB = np.array([1.0, 0.0, -1.0, 0.0], dtype=np.float32)
-_STAB = np.array([0.0, 1.0, 0.0, -1.0], dtype=np.float32)
-
-
-@functools.lru_cache(maxsize=1)
-def _atlas_flat():
-    atlas = texlib.tile_atlas()  # [K, V, T, T, 3] uint8
-    return atlas.reshape(-1, 3), atlas.shape
-
 
 def camera_rays(cfg, state):
     """Per-pixel unit ray directions [H, W, 3] + eye position [3].
@@ -79,10 +64,14 @@ def camera_rays(cfg, state):
 
 
 def _ground_color(cfg, maps, state, rays, eye):
-    """Tile-textured ground + sky background. Returns (rgb [H,W,3] f32,
-    t_bg [H,W] f32)."""
-    atlas_np, (K, V, TEXN, _, _) = _atlas_flat()
-    atlas_flat = jnp.asarray(atlas_np)
+    """Procedurally shaded ground + sky background. Returns
+    (rgb [H,W,3] f32, t_bg [H,W] f32).
+
+    Tile appearance is computed analytically per pixel (render/shading.py)
+    instead of sampling a texture image — no big gathers, pure VPU math;
+    only the tiny [H, W] tile-property grids are indexed.
+    """
+    from dtown.render.shading import shade_tile
 
     dy = rays[..., 1]
     hits_ground = dy < -1e-6
@@ -103,18 +92,9 @@ def _ground_color(cfg, maps, state, rays, eye):
     variant = state.tex_variant[j, i]
     tangle = maps.tile_angle[j, i]
 
-    # uv in tile, rotated back to the texture's base orientation
-    du = px / ts - fi - 0.5
-    dv = pz / ts - fj - 0.5
-    c = jnp.asarray(_CTAB)[tangle]
-    s = jnp.asarray(_STAB)[tangle]
-    bu = du * c - dv * s + 0.5
-    bv = dv * c + du * s + 0.5
-    tx = jnp.clip((bu * TEXN).astype(jnp.int32), 0, TEXN - 1)
-    ty = jnp.clip((bv * TEXN).astype(jnp.int32), 0, TEXN - 1)
-
-    flat_idx = ((kind * V + variant) * TEXN + ty) * TEXN + tx
-    texel = atlas_flat[flat_idx].astype(jnp.float32) * (1.0 / 255.0)
+    u = px / ts - fi
+    v = pz / ts - fj
+    texel = shade_tile(kind, tangle, variant, u, v)
 
     # out-of-grid ground uses the (randomizable) ground color
     ground_rgb = jnp.where(in_grid[..., None], texel,
@@ -211,6 +191,10 @@ def _render_objects(cfg, maps, state, rays, eye, rgb, t_bg):
     M = maps.max_objects
     if M == 0 or Kvis == 0:
         return rgb, t_bg
+    from dtown.utils.staticcheck import concrete_any
+
+    if not concrete_any(maps.obj_mask):
+        return rgb, t_bg
     Kvis = min(Kvis, M)
 
     from dtown.env import active_objects
@@ -220,9 +204,7 @@ def _render_objects(cfg, maps, state, rays, eye, rgb, t_bg):
     score = jnp.where(active, -dist, -jnp.inf)
     _, top_idx = jax.lax.top_k(score, Kvis)
 
-    def body(k, carry):
-        rgb, t_best = carry
-        m = top_idx[k]
+    def body(rgb, t_best, m):
         ok = active[m]
         opos = state.dyn.pos[m]
         oang = state.dyn.angle[m]
@@ -268,7 +250,10 @@ def _render_objects(cfg, maps, state, rays, eye, rgb, t_bg):
         t_best = jnp.where(closer, t_w, t_best)
         return rgb, t_best
 
-    rgb, t_bg = jax.lax.fori_loop(0, Kvis, body, (rgb, t_bg))
+    # Unrolled over the K visible objects (static count): straight-line
+    # code fuses far better than an XLA while-loop on TPU.
+    for k in range(Kvis):
+        rgb, t_bg = body(rgb, t_bg, top_idx[k])
     return rgb, t_bg
 
 

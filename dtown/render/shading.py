@@ -1,0 +1,172 @@
+"""Analytic per-pixel tile shading — the TPU-native texture system.
+
+The reference samples PNG textures (reference: textures/*.png via
+graphics.py::Texture); texture lookups are random gathers, which TPUs
+hate. Instead the road surface is shaded *procedurally*: lane markings
+are analytic functions of the in-tile (u, v) coordinate (lines and arcs
+matching the lane geometry in curves.py), and surface noise comes from an
+integer hash of the texel coordinate. Everything is straight-line VPU
+arithmetic + selects, so it fuses into the renderer and runs identically
+inside Pallas kernels and plain XLA.
+
+Variant-based domain randomization (reference: numbered texture variants)
+is preserved: the per-tile variant id seeds the noise hash and a
+brightness factor.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from dtown import types as T
+
+# Marking geometry (tile fractions) — must match curves.py lane layout
+EDGE_INSET = 0.035
+LINE_W = 0.025
+DASH_PERIOD = 0.125
+DASH_DUTY = 0.5
+
+# Colors (f32, 0..1)
+YELLOW = (0.82, 0.68, 0.10)
+WHITE = (0.88, 0.88, 0.88)
+ASPHALT = (0.155, 0.155, 0.16)
+GRASS = (0.22, 0.46, 0.18)
+FLOOR = (0.62, 0.60, 0.58)
+EMPTY = (0.13, 0.28, 0.11)
+
+NOISE_AMP = 0.012
+NOISE_CELLS = 128  # hash lattice per tile edge (matches old atlas texels)
+
+
+def _hash_noise(ix, iy, seed):
+    """Deterministic per-texel noise in [-1, 1] from an integer hash."""
+    h = (ix * 73856093 + iy * 19349663 + seed * 83492791) & 0x7FFFFFFF
+    h = (h ^ (h >> 13)) * 1274126177 & 0x7FFFFFFF
+    h = h ^ (h >> 16)
+    return (h & 0xFFFF).astype(jnp.float32) / 32768.0 - 1.0
+
+
+def _dashed(arc_pos):
+    return (arc_pos / DASH_PERIOD) % 1.0 < DASH_DUTY
+
+
+def _line(d, half_w=LINE_W / 2):
+    return jnp.abs(d) < half_w
+
+
+def shade_tile(kind, angle_idx, variant, u, v):
+    """RGB [.., 3] for in-tile coordinates.
+
+    kind/angle_idx/variant: int32 arrays broadcastable with u, v in [0,1).
+    u is the x fraction, v the z fraction, in WORLD orientation; markings
+    are drawn in the tile's base orientation by rotating (u, v) back by
+    -angle_idx * 90 deg about the tile center (same convention as
+    curves.py::rotate_curves).
+    """
+    # rotate uv back to base orientation
+    ctab = jnp.array([1.0, 0.0, -1.0, 0.0], dtype=jnp.float32)
+    stab = jnp.array([0.0, 1.0, 0.0, -1.0], dtype=jnp.float32)
+    c = ctab[angle_idx]
+    s = stab[angle_idx]
+    du = u - 0.5
+    dv = v - 0.5
+    bu = du * c - dv * s + 0.5
+    bv = dv * c + du * s + 0.5
+
+    # --- marking masks in base orientation ---------------------------
+    # straight (road along z): center dashed at u=0.5, edges at inset
+    straight_center = _line(bu - 0.5) & _dashed(bv)
+    straight_edge = _line(bu - EDGE_INSET) | _line(bu - (1 - EDGE_INSET))
+
+    # curve_left: rings centered at corner (1, 0); curve_right: (0, 0)
+    def arc(cu, cv):
+        r = jnp.hypot(bu - cu, bv - cv)
+        theta = jnp.arctan2(bv - cv, bu - cu)
+        center = _line(r - 0.5) & _dashed(r * jnp.abs(theta))
+        edge = _line(r - EDGE_INSET) | _line(r - (1 - EDGE_INSET))
+        return center, edge
+
+    cl_center, cl_edge = arc(1.0, 0.0)
+    cr_center, cr_edge = arc(0.0, 0.0)
+
+    # intersections: center dashed stubs toward connected edges + stop bars
+    def stub_zm():
+        m = _line(bu - 0.5) & (bv < 0.5)
+        stop = (jnp.abs(bv - 0.08) < 0.02) & (bu > 0.5) & (bu < 0.8)
+        return m, stop
+
+    def stub_zp():
+        m = _line(bu - 0.5) & (bv >= 0.5)
+        stop = (jnp.abs(bv - 0.92) < 0.02) & (bu > 0.2) & (bu < 0.5)
+        return m, stop
+
+    def stub_xm():
+        m = _line(bv - 0.5) & (bu < 0.5)
+        stop = (jnp.abs(bu - 0.08) < 0.02) & (bv > 0.2) & (bv < 0.5)
+        return m, stop
+
+    def stub_xp():
+        m = _line(bv - 0.5) & (bu >= 0.5)
+        stop = (jnp.abs(bu - 0.92) < 0.02) & (bv > 0.5) & (bv < 0.8)
+        return m, stop
+
+    zm_m, zm_s = stub_zm()
+    zp_m, zp_s = stub_zp()
+    xm_m, xm_s = stub_xm()
+    xp_m, xp_s = stub_xp()
+    dash_uv = _dashed(bu + bv)
+
+    k3l_center = (zm_m | zp_m | xp_m) & dash_uv
+    k3l_stop = zm_s | zp_s | xp_s
+    k3r_center = (zm_m | zp_m | xm_m) & dash_uv
+    k3r_stop = zm_s | zp_s | xm_s
+    k4_center = (zm_m | zp_m | xm_m | xp_m) & dash_uv
+    k4_stop = zm_s | zp_s | xm_s | xp_s
+
+    is_road = (
+        (kind == T.TILE_STRAIGHT) | (kind == T.TILE_CURVE_LEFT)
+        | (kind == T.TILE_CURVE_RIGHT) | (kind == T.TILE_3WAY_LEFT)
+        | (kind == T.TILE_3WAY_RIGHT) | (kind == T.TILE_4WAY)
+        | (kind == T.TILE_ASPHALT)
+    )
+
+    yellow_mask = (
+        ((kind == T.TILE_STRAIGHT) & straight_center)
+        | ((kind == T.TILE_CURVE_LEFT) & cl_center)
+        | ((kind == T.TILE_CURVE_RIGHT) & cr_center)
+        | ((kind == T.TILE_3WAY_LEFT) & k3l_center)
+        | ((kind == T.TILE_3WAY_RIGHT) & k3r_center)
+        | ((kind == T.TILE_4WAY) & k4_center)
+    )
+    white_mask = (
+        ((kind == T.TILE_STRAIGHT) & straight_edge)
+        | ((kind == T.TILE_CURVE_LEFT) & cl_edge)
+        | ((kind == T.TILE_CURVE_RIGHT) & cr_edge)
+        | ((kind == T.TILE_3WAY_LEFT) & k3l_stop)
+        | ((kind == T.TILE_3WAY_RIGHT) & k3r_stop)
+        | ((kind == T.TILE_4WAY) & k4_stop)
+    )
+
+    # --- base colors -------------------------------------------------
+    def col(c3):
+        return jnp.array(c3, dtype=jnp.float32)
+
+    base = jnp.where(
+        is_road[..., None], col(ASPHALT),
+        jnp.where(
+            (kind == T.TILE_GRASS)[..., None], col(GRASS),
+            jnp.where((kind == T.TILE_FLOOR)[..., None], col(FLOOR),
+                      col(EMPTY)),
+        ),
+    )
+    rgb = jnp.where(yellow_mask[..., None], col(YELLOW), base)
+    rgb = jnp.where(white_mask[..., None], col(WHITE), rgb)
+
+    # --- noise + variant brightness ----------------------------------
+    tx = jnp.clip((bu * NOISE_CELLS).astype(jnp.int32), 0, NOISE_CELLS - 1)
+    ty = jnp.clip((bv * NOISE_CELLS).astype(jnp.int32), 0, NOISE_CELLS - 1)
+    amp = jnp.where(kind == T.TILE_GRASS, 0.03,
+                    jnp.where(is_road, NOISE_AMP, 0.015)).astype(jnp.float32)
+    n = _hash_noise(tx, ty, variant + 7 * kind)
+    brightness = 0.94 + 0.04 * variant.astype(jnp.float32)
+    rgb = rgb * brightness[..., None] + (amp * n)[..., None]
+    return jnp.clip(rgb, 0.0, 1.0)

@@ -124,7 +124,12 @@ class EnvConfig:
     # Reset / spawn
     domain_rand: bool = False
     accept_start_angle_deg: float = C.DEFAULT_ACCEPT_START_ANGLE_DEG
-    spawn_attempts: int = 32  # fixed-iteration in-graph spawn loop budget
+    # "bank": draw from the precomputed spawn bank (fast path; host-side
+    # rejection sampling at map-compile time, spawn_bank.py).
+    # "rejection": full in-graph rejection loop, semantically closest to
+    # the reference but far slower under vmapped auto-reset.
+    spawn_mode: str = "bank"
+    spawn_attempts: int = 32  # in-graph loop budget for "rejection" mode
 
     # Reward
     collision_termination: bool = True
@@ -176,6 +181,11 @@ class MapArrays:
     # Spawn support
     tile_size: Array       # f32 scalar
     drivable_frac: Array   # f32 [H*W] normalized probability over drivable tiles
+    # Precomputed spawn bank (host-side rejection sampling; spawn_bank.py)
+    spawn_pos: Array       # f32 [K, 3]
+    spawn_angle: Array     # f32 [K]
+    spawn_lane_deg: Array  # f32 [K] lane angle of each pose (runtime filter)
+    spawn_mask: Array      # bool [K]
 
     @property
     def grid_shape(self):

@@ -1,0 +1,81 @@
+#!/usr/bin/env python3
+"""Train a PPO lane-following policy fully on device.
+
+Single-chip or sharded over every available chip; obs never leave the
+device — the host sees only scalar metrics and checkpoints
+(BASELINE.json north-star training path; the reference fork's torch
+scripts are SURVEY.md §2.16).
+
+Usage:
+  python scripts/train_ppo.py --map small_loop --envs 256 --iters 50
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import jax
+
+from dtown import map_loader
+from dtown.learn.ppo import PPOConfig
+from dtown.parallel.mesh import make_mesh
+from dtown.parallel.shard import make_sharded_ppo
+from dtown.types import EnvConfig
+from dtown.utils.profiling import PhaseTimer
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--map", default="small_loop", nargs="+")
+    ap.add_argument("--envs", type=int, default=256)
+    ap.add_argument("--iters", type=int, default=50)
+    ap.add_argument("--size", type=int, default=64)
+    ap.add_argument("--rollout", type=int, default=64)
+    ap.add_argument("--domain-rand", action="store_true")
+    ap.add_argument("--ckpt", default=None)
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args()
+
+    cfg = EnvConfig(
+        obs_type="rgb", camera_width=args.size, camera_height=args.size,
+        domain_rand=args.domain_rand,
+    )
+    maps = (
+        map_loader.stack_maps(args.map)
+        if isinstance(args.map, list) and len(args.map) > 1
+        else map_loader.load_map(
+            args.map[0] if isinstance(args.map, list) else args.map
+        )
+    )
+    mesh = make_mesh()
+    print(f"devices: {mesh.devices.size} x {jax.devices()[0].platform}")
+
+    ppo = PPOConfig(rollout_len=args.rollout)
+    mesh, s_init, s_train = make_sharded_ppo(
+        cfg, maps, args.envs, ppo=ppo, mesh=mesh
+    )
+
+    timer = PhaseTimer()
+    with timer.phase("init"):
+        ts = s_init(jax.random.PRNGKey(args.seed))
+        jax.block_until_ready(ts.params)
+
+    steps_per_iter = args.envs * ppo.rollout_len
+    for it in range(args.iters):
+        with timer.phase("train", steps=steps_per_iter):
+            ts, metrics = s_train(ts)
+            metrics = {k: float(v) for k, v in metrics.items()}
+        if it % 5 == 0 or it == args.iters - 1:
+            print(json.dumps({"iter": it, **{k: round(v, 4) for k, v in metrics.items()}}))
+
+    print(timer.report())
+    if args.ckpt:
+        from dtown.utils import checkpoint
+
+        checkpoint.save(args.ckpt, {"params": ts.params})
+        print(f"saved params to {args.ckpt}")
+
+
+if __name__ == "__main__":
+    main()
