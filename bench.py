@@ -42,6 +42,10 @@ def main():
     ap.add_argument("--no-objects", action="store_true")
     ap.add_argument("--cpu", action="store_true",
                     help="force local CPU backend (handled at import)")
+    ap.add_argument("--renderer", default="pallas", choices=["xla", "pallas"])
+    ap.add_argument("--unroll", type=int, default=4,
+                    help="scan unroll factor (amortizes per-iteration "
+                         "while-loop overhead)")
     args = ap.parse_args()
 
     cfg = EnvConfig(
@@ -51,6 +55,7 @@ def main():
         domain_rand=args.domain_rand,
         auto_reset=not args.no_autoreset,
         render_objects=not args.no_objects,
+        renderer=args.renderer,
     )
     maps = map_loader.load_map(args.map)
 
@@ -68,16 +73,19 @@ def main():
     @functools.partial(jax.jit, static_argnums=(2,), donate_argnums=(0,))
     def rollout(states, actions, n_iters):
         """n_iters steps inside ONE jit via lax.scan — measures the pure
-        device throughput with no per-step host dispatch."""
+        device throughput with no per-step host dispatch. The obs tensor
+        is reduced into the scan output so the renderer cannot be
+        dead-code-eliminated."""
 
         def body(s, _):
-            s, out = jax.vmap(lambda st, a: env_core.step(cfg, maps, st, a))(
-                s, actions
-            )
-            return s, out.reward.sum()
+            s, out = env_core.step_batch(cfg, maps, s, actions)
+            return s, (out.reward.sum(),
+                       jnp.sum(out.obs, dtype=jnp.int32))
 
-        states, rewards = jax.lax.scan(body, states, None, length=n_iters)
-        return states, rewards[-1]
+        states, (rewards, obs_sums) = jax.lax.scan(
+            body, states, None, length=n_iters, unroll=args.unroll
+        )
+        return states, rewards[-1] + obs_sums[-1].astype(jnp.float32)
 
     print(f"device: {jax.devices()[0]}", file=sys.stderr)
     t0 = time.time()

@@ -231,12 +231,13 @@ def render_obs(cfg: EnvConfig, maps: MapArrays, state: EnvState,
 # Step
 # ---------------------------------------------------------------------
 
-def step(cfg: EnvConfig, maps: MapArrays, state: EnvState, action):
-    """One env step: dynamics -> NPC updates -> validity -> reward -> obs.
+def step_physics(cfg: EnvConfig, maps: MapArrays, state: EnvState, action):
+    """One env step without the observation: dynamics -> NPC updates ->
+    validity -> reward -> auto-reset. Returns (new_state, StepOutput with
+    obs=() placeholder, lane_pos) so callers can attach obs via the
+    renderer of their choice (per-env XLA or batched Pallas).
 
-    reference call stack in SURVEY.md §3.2. Auto-reset: when the episode
-    ends the returned state is a freshly reset one (in-graph), and
-    StepOutput.obs is the first observation of the new episode.
+    reference call stack in SURVEY.md §3.2.
     """
     m = select_map(maps, state.map_idx)
     # Sanitize: a NaN/inf action (e.g. from a diverged learner) must not
@@ -316,12 +317,8 @@ def step(cfg: EnvConfig, maps: MapArrays, state: EnvState, action):
             fresh,
         )
 
-    # The lane query can be reused for the obs only while the state was
-    # not auto-reset (a fresh spawn has a different pose).
-    reuse_lp = None if cfg.auto_reset else lp
-    obs = render_obs(cfg, maps, new_state, lane_pos=reuse_lp)
     out = StepOutput(
-        obs=obs,
+        obs=(),
         reward=reward,
         done=done,
         lane_dist=lp.dist,
@@ -331,7 +328,48 @@ def step(cfg: EnvConfig, maps: MapArrays, state: EnvState, action):
         collision=collided,
         timestamp=step_count.astype(jnp.float32) * dt,
     )
-    return new_state, out
+    return new_state, out, lp
+
+
+def step(cfg: EnvConfig, maps: MapArrays, state: EnvState, action):
+    """One full env step including the observation (per-env XLA renderer;
+    vmap-friendly). For large batches prefer step_batch, which uses the
+    fused Pallas render kernel."""
+    new_state, out, lp = step_physics(cfg, maps, state, action)
+    # The lane query can be reused for the obs only while the state was
+    # not auto-reset (a fresh spawn has a different pose).
+    reuse_lp = None if cfg.auto_reset else lp
+    obs = render_obs(cfg, maps, new_state, lane_pos=reuse_lp)
+    return new_state, out.replace(obs=obs)
+
+
+def step_batch(cfg: EnvConfig, maps: MapArrays, states: EnvState, actions):
+    """Batched step: vmapped physics + batched observation.
+
+    With cfg.renderer == "pallas" (and rgb obs) the whole batch renders in
+    one fused TPU kernel (render/pallas_raster.py); otherwise falls back
+    to the vmapped XLA renderer.
+    """
+    new_states, outs, _ = jax.vmap(
+        lambda s, a: step_physics(cfg, maps, s, a)
+    )(states, actions)
+    if cfg.obs_type == "rgb" and cfg.renderer == "pallas":
+        from dtown.render.pallas_raster import (
+            planes_to_nhwc, render_frames_pallas,
+        )
+
+        planes = render_frames_pallas(cfg, maps, new_states)
+        obs = planes_to_nhwc(cfg, planes)
+        if cfg.grayscale:
+            luma = (
+                0.299 * obs[..., 0].astype(jnp.float32)
+                + 0.587 * obs[..., 1].astype(jnp.float32)
+                + 0.114 * obs[..., 2].astype(jnp.float32)
+            )
+            obs = luma.astype(jnp.uint8)[..., None]
+    else:
+        obs = jax.vmap(lambda s: render_obs(cfg, maps, s))(new_states)
+    return new_states, outs.replace(obs=obs)
 
 
 # ---------------------------------------------------------------------
@@ -357,6 +395,6 @@ def make_vec_env(cfg: EnvConfig, maps: MapArrays, num_envs: int):
 
     @jax.jit
     def v_step(states, actions):
-        return jax.vmap(lambda s, a: step(cfg, maps, s, a))(states, actions)
+        return step_batch(cfg, maps, states, actions)
 
     return v_reset, v_step

@@ -1,0 +1,133 @@
+"""ctypes binding for the native (C++) map compiler.
+
+Auto-builds native/libdtown_mapc.so on first use (g++, no external
+deps); falls back cleanly if the toolchain is unavailable — the python
+compiler in dtown/map_loader.py remains the reference implementation and
+tests cross-check the two (tests/test_native.py).
+"""
+from __future__ import annotations
+
+import ctypes
+import functools
+import os
+import subprocess
+from typing import Optional
+
+import numpy as np
+
+_NATIVE_DIR = os.path.join(os.path.dirname(__file__), "..", "..", "native")
+_SO = os.path.join(_NATIVE_DIR, "libdtown_mapc.so")
+
+MAXG = 32
+MAXC = 12
+MAXO = 64
+BANK = 2048
+
+
+class CMap(ctypes.Structure):
+    _fields_ = [
+        ("H", ctypes.c_int32),
+        ("W", ctypes.c_int32),
+        ("n_objects", ctypes.c_int32),
+        ("max_objects", ctypes.c_int32),
+        ("tile_size", ctypes.c_double),
+        ("tile_kind", ctypes.c_int32 * (MAXG * MAXG)),
+        ("tile_angle", ctypes.c_int32 * (MAXG * MAXG)),
+        ("drivable", ctypes.c_uint8 * (MAXG * MAXG)),
+        ("curves", ctypes.c_double * (MAXG * MAXG * MAXC * 4 * 3)),
+        ("curve_mask", ctypes.c_uint8 * (MAXG * MAXG * MAXC)),
+        ("obj_pos", ctypes.c_double * (MAXO * 3)),
+        ("obj_y_rot", ctypes.c_double * MAXO),
+        ("obj_scale", ctypes.c_double * MAXO),
+        ("obj_height", ctypes.c_double * MAXO),
+        ("obj_halfdims", ctypes.c_double * (MAXO * 2)),
+        ("obj_corners", ctypes.c_double * (MAXO * 4 * 2)),
+        ("obj_norms", ctypes.c_double * (MAXO * 2 * 2)),
+        ("obj_safety_rad", ctypes.c_double * MAXO),
+        ("obj_kind", ctypes.c_int32 * MAXO),
+        ("obj_mask", ctypes.c_uint8 * MAXO),
+        ("obj_optional", ctypes.c_uint8 * MAXO),
+        ("obj_dynamic", ctypes.c_uint8 * MAXO),
+        ("spawn_pos", ctypes.c_double * (BANK * 3)),
+        ("spawn_angle", ctypes.c_double * BANK),
+        ("spawn_lane_deg", ctypes.c_double * BANK),
+        ("spawn_mask", ctypes.c_uint8 * BANK),
+    ]
+
+
+@functools.lru_cache(maxsize=1)
+def _lib() -> Optional[ctypes.CDLL]:
+    if not os.path.exists(_SO) or (
+        os.path.getmtime(_SO)
+        < os.path.getmtime(os.path.join(_NATIVE_DIR, "mapc.cpp"))
+    ):
+        try:
+            subprocess.run(
+                ["sh", os.path.join(_NATIVE_DIR, "build.sh")],
+                check=True, capture_output=True,
+            )
+        except Exception:
+            return None
+    try:
+        lib = ctypes.CDLL(_SO)
+    except OSError:
+        return None
+    lib.dtown_compile_map.argtypes = [ctypes.c_char_p,
+                                      ctypes.POINTER(CMap)]
+    lib.dtown_compile_map.restype = ctypes.c_int
+    lib.dtown_mapc_sizeof.restype = ctypes.c_int
+    if lib.dtown_mapc_sizeof() != ctypes.sizeof(CMap):
+        raise RuntimeError(
+            "native CMap ABI mismatch: "
+            f"{lib.dtown_mapc_sizeof()} != {ctypes.sizeof(CMap)}"
+        )
+    return lib
+
+
+def available() -> bool:
+    return _lib() is not None
+
+
+def compile_map_native(path: str) -> dict:
+    """Compile a map yaml with the C++ compiler -> dict of numpy arrays
+    (unpadded to the map's actual H, W, max_objects)."""
+    lib = _lib()
+    if lib is None:
+        raise RuntimeError("native map compiler unavailable")
+    out = CMap()
+    rc = lib.dtown_compile_map(path.encode(), ctypes.byref(out))
+    if rc != 0:
+        raise ValueError(f"native map compile failed (rc={rc}) for {path}")
+    H, W, M = out.H, out.W, out.max_objects
+
+    def arr(field, shape, dtype, crop):
+        a = np.ctypeslib.as_array(getattr(out, field)).astype(dtype)
+        a = a.reshape(shape)
+        return a[crop].copy()
+
+    g = (slice(0, H), slice(0, W))
+    return dict(
+        H=H, W=W, max_objects=M, n_objects=out.n_objects,
+        tile_size=float(out.tile_size),
+        tile_kind=arr("tile_kind", (MAXG, MAXG), np.int32, g),
+        tile_angle=arr("tile_angle", (MAXG, MAXG), np.int32, g),
+        drivable=arr("drivable", (MAXG, MAXG), bool, g),
+        curves=arr("curves", (MAXG, MAXG, MAXC, 4, 3), np.float64, g),
+        curve_mask=arr("curve_mask", (MAXG, MAXG, MAXC), bool, g),
+        obj_pos=arr("obj_pos", (MAXO, 3), np.float64, slice(0, M)),
+        obj_y_rot=arr("obj_y_rot", (MAXO,), np.float64, slice(0, M)),
+        obj_scale=arr("obj_scale", (MAXO,), np.float64, slice(0, M)),
+        obj_height=arr("obj_height", (MAXO,), np.float64, slice(0, M)),
+        obj_halfdims=arr("obj_halfdims", (MAXO, 2), np.float64, slice(0, M)),
+        obj_corners=arr("obj_corners", (MAXO, 4, 2), np.float64, slice(0, M)),
+        obj_norms=arr("obj_norms", (MAXO, 2, 2), np.float64, slice(0, M)),
+        obj_safety_rad=arr("obj_safety_rad", (MAXO,), np.float64, slice(0, M)),
+        obj_kind=arr("obj_kind", (MAXO,), np.int32, slice(0, M)),
+        obj_mask=arr("obj_mask", (MAXO,), bool, slice(0, M)),
+        obj_optional=arr("obj_optional", (MAXO,), bool, slice(0, M)),
+        obj_dynamic=arr("obj_dynamic", (MAXO,), bool, slice(0, M)),
+        spawn_pos=arr("spawn_pos", (BANK, 3), np.float64, slice(None)),
+        spawn_angle=arr("spawn_angle", (BANK,), np.float64, slice(None)),
+        spawn_lane_deg=arr("spawn_lane_deg", (BANK,), np.float64, slice(None)),
+        spawn_mask=arr("spawn_mask", (BANK,), bool, slice(None)),
+    )

@@ -1,0 +1,509 @@
+"""Fused Pallas TPU kernel for the complete state step.
+
+One kernel advances a block of envs through the ENTIRE non-render step:
+wheel model -> differential-drive integration -> drivability -> SAT
+collision -> lane geometry (curve select + bezier bisection) -> reward ->
+done -> in-graph auto-reset from the spawn bank. This collapses the
+~2000-HLO-op XLA step (which pays a per-op dispatch tax on the target
+runtime) into a single op.
+
+Layout: the env state lives in a TRANSPOSED blob f32 [F, B] — fields are
+sublanes, envs are lanes — so every per-env scalar op is one full-width
+vreg op, and small-table lookups become `table_T @ onehot_T` MXU matmuls
+(onehot_T [T, BB] = (iota_sublane == idx_lane)) with no cross-lane
+reshapes. The rollout loop carries the blob; EnvState <-> blob conversion
+happens once per rollout, not per step (dtown/ops/fused_env.py).
+
+Scope: domain_rand=False fast path (the benchmark configs); walking-duckie
+NPCs are folded in, scripted duckiebots stay on the XLA path.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from dtown import constants as C
+from dtown import types as T
+
+# ---- blob field indices (f32 [F, B]) ---------------------------------
+F_POS_X, F_POS_Y, F_POS_Z, F_ANGLE, F_SPEED = 0, 1, 2, 3, 4
+F_WVL, F_WVR, F_STEP, F_RNG, F_ROBOT_SPEED, F_WHEEL_DIST = 5, 6, 7, 8, 9, 10
+F_ACT0, F_ACT1 = 11, 12
+# outputs
+F_REWARD, F_DONE, F_LDIST, F_LDOT, F_LDEG, F_INLANE, F_COLL, F_TIME = (
+    13, 14, 15, 16, 17, 18, 19, 20)
+F_ENVID = 21
+NF = 24  # padded to a multiple of 8 sublanes
+
+BB = 128  # envs per kernel program (one lane-width)
+
+# curve table lane layout per tile (transposed to [CT_F, T_pad]):
+# 12 curves x (cps 12 floats) = 144, then 12 chord_x, 12 chord_z,
+# 12 valid flags -> 180 rows
+N_CURVES = 12
+CT_CPS = 0            # 144 rows: curve c float k at row c*12+k
+CT_CHX = 144          # 12 rows
+CT_CHZ = 156          # 12 rows
+CT_VALID = 168        # 12 rows
+CT_F = 184            # padded rows (mult of 8)
+
+# object table (transposed [OT_F, M]): corners(8), norms(4), pos_x, pos_z,
+# safety_rad, active, is_dynamic
+OT_CX = list(range(0, 8))
+OT_NX = list(range(8, 12))
+OT_PX, OT_PZ, OT_RAD, OT_ACT, OT_DYN = 12, 13, 14, 15, 16
+OT_F = 24
+
+# spawn bank (transposed [8, BANK_K]): x, y, z, angle
+BK_X, BK_Y, BK_Z, BK_ANG = 0, 1, 2, 3
+BANK_K = 512
+
+
+def _sincos(x):
+    """Polynomial sincos (geometry.sincos, kernel-safe)."""
+    from dtown.geometry import sincos
+
+    return sincos(x)
+
+
+def _hash_u32(a, b):
+    """Deterministic uint-ish hash of two int32 vectors -> positive int32."""
+    h = (a * 73856093 + b * 19349663) & 0x7FFFFFFF
+    h = ((h ^ (h >> 13)) * 1274126177) & 0x7FFFFFFF
+    return h ^ (h >> 16)
+
+
+def make_state_kernel(cfg, Hg, Wg, n_words, M, n_spawn_ok):
+    """Kernel factory; all map/shape facts static."""
+    dt = float(cfg.delta_time)
+    frame_skip = int(cfg.frame_skip)
+    use_wm = bool(cfg.use_wheel_model)
+    gain, trim = float(cfg.gain), float(cfg.trim)
+    radius, k_c, limit = float(cfg.wheel_radius), float(cfg.k), float(cfg.limit)
+    max_steps = float(cfg.max_steps)
+    auto_reset = bool(cfg.auto_reset)
+    collision_on = M > 0
+
+    T_tiles = Hg * Wg
+
+    def kernel(blob_ref, words_ref, ct_ref, ot_ref, bank_ref, tsref,
+               out_ref):
+        f32 = jnp.float32
+        row = lambda r: blob_ref[r, :][None, :]          # [1, BB]
+
+        ts_inv = tsref[0, 0]
+
+        pos_x = row(F_POS_X)
+        pos_y = row(F_POS_Y)
+        pos_z = row(F_POS_Z)
+        angle = row(F_ANGLE)
+        act0 = row(F_ACT0)
+        act1 = row(F_ACT1)
+        robot_speed = row(F_ROBOT_SPEED)
+        wheel_dist = row(F_WHEEL_DIST)
+        step_cnt = row(F_STEP)
+        rng_ctr = row(F_RNG)
+        env_id = row(F_ENVID)
+
+        # ---- wheel model (envs/duckietown_env.py inverse kinematics) --
+        if use_wm:
+            k_r_inv = (gain + trim) / k_c
+            k_l_inv = (gain - trim) / k_c
+            omega_r = (act0 + 0.5 * act1 * wheel_dist) / radius
+            omega_l = (act0 - 0.5 * act1 * wheel_dist) / radius
+            u_r = jnp.clip(omega_r * k_r_inv, -limit, limit)
+            u_l = jnp.clip(omega_l * k_l_inv, -limit, limit)
+        else:
+            u_l, u_r = act0, act1
+        u_l = jnp.clip(u_l, -1.0, 1.0)
+        u_r = jnp.clip(u_r, -1.0, 1.0)
+        vl = u_l * robot_speed
+        vr = u_r * robot_speed
+
+        # ---- integrate (simulator.py::_update_pos), unrolled ----------
+        speed = jnp.zeros_like(angle)
+        for _ in range(frame_skip):
+            s_a, c_a = _sincos(angle)
+            dir_x, dir_z = c_a, -s_a
+            straight = vl == vr
+            npx_s = pos_x + dt * vl * dir_x
+            npz_s = pos_z + dt * vl * dir_z
+            denom = jnp.where(straight, 1.0, vl - vr)
+            w = (vr - vl) / wheel_dist
+            r_icc = wheel_dist * (vl + vr) / (2.0 * denom)
+            rot = w * dt
+            cx_ = pos_x + r_icc * s_a
+            cz_ = pos_z + r_icc * c_a
+            s_r, c_r = _sincos(rot)
+            dx_ = pos_x - cx_
+            dz_ = pos_z - cz_
+            npx_a = cx_ + dx_ * c_r + dz_ * s_r
+            npz_a = cz_ + dz_ * c_r - dx_ * s_r
+            new_x = jnp.where(straight, npx_s, npx_a)
+            new_z = jnp.where(straight, npz_s, npz_a)
+            new_angle = angle + jnp.where(straight, 0.0, rot)
+            ddx = new_x - pos_x
+            ddz = new_z - pos_z
+            speed = jnp.sqrt(ddx * ddx + ddz * ddz) * (1.0 / dt)
+            pos_x, pos_z, angle = new_x, new_z, new_angle
+
+        step_cnt = step_cnt + frame_skip
+
+        s_a, c_a = _sincos(angle)
+        dir_x, dir_z = c_a, -s_a
+        right_x, right_z = s_a, c_a
+
+        # ---- drivability of center + wheel + front points -------------
+        acx = pos_x + (C.CAMERA_FORWARD_DIST - 0.5 * C.ROBOT_LENGTH) * dir_x
+        acz = pos_z + (C.CAMERA_FORWARD_DIST - 0.5 * C.ROBOT_LENGTH) * dir_z
+
+        def drivable_at(px, pz):
+            fi = jnp.floor(px * ts_inv)
+            fj = jnp.floor(pz * ts_inv)
+            ing = (fi >= 0) & (fi < Wg) & (fj >= 0) & (fj < Hg)
+            ii = jnp.clip(fi.astype(jnp.int32), 0, Wg - 1)
+            jj = jnp.clip(fj.astype(jnp.int32), 0, Hg - 1)
+            tid = jj * Wg + ii
+            word = jnp.zeros_like(tid)
+            widx = tid >> 2
+            for wi in range(n_words):
+                word = jnp.where(widx == wi, words_ref[0, wi], word)
+            kind = (word >> ((tid & 3) * 8)) & 0xF
+            driv = (kind >= T.TILE_STRAIGHT) & (kind <= T.TILE_4WAY)
+            return ing & driv, tid, ing
+
+        hw = 0.5 * C.ROBOT_WIDTH
+        hl = 0.5 * C.ROBOT_LENGTH
+        d_c, tid_pos, _ = drivable_at(pos_x, pos_z)
+        d_c2, _, _ = drivable_at(acx, acz)
+        d_l, _, _ = drivable_at(acx - hw * right_x, acz - hw * right_z)
+        d_r, _, _ = drivable_at(acx + hw * right_x, acz + hw * right_z)
+        d_f, _, _ = drivable_at(acx + hl * dir_x, acz + hl * dir_z)
+        all_driv = d_c2 & d_l & d_r & d_f
+
+        # ---- SAT collision + proximity (collision.py semantics) -------
+        collided = jnp.zeros_like(all_driv)
+        prox_static = jnp.full_like(pos_x, 1e30)
+        prox_dyn = jnp.zeros_like(pos_x)
+        if collision_on:
+            # agent corners about the actual center
+            agc = []
+            for sf, sr in ((-1, 1), (1, 1), (1, -1), (-1, -1)):
+                agc.append((
+                    acx + sf * hl * dir_x + sr * hw * right_x,
+                    acz + sf * hl * dir_z + sr * hw * right_z,
+                ))
+            for m in range(M):
+                ocx = [ot_ref[OT_CX[2 * i], m] for i in range(4)]
+                ocz = [ot_ref[OT_CX[2 * i + 1], m] for i in range(4)]
+                axes = [
+                    (dir_x, dir_z), (right_x, right_z),
+                    (jnp.full_like(pos_x, ot_ref[OT_NX[0], m]),
+                     jnp.full_like(pos_x, ot_ref[OT_NX[1], m])),
+                    (jnp.full_like(pos_x, ot_ref[OT_NX[2], m]),
+                     jnp.full_like(pos_x, ot_ref[OT_NX[3], m])),
+                ]
+                separated = jnp.zeros_like(all_driv)
+                for ax, az in axes:
+                    amin = amax = None
+                    for gx, gz in agc:
+                        pa = gx * ax + gz * az
+                        amin = pa if amin is None else jnp.minimum(amin, pa)
+                        amax = pa if amax is None else jnp.maximum(amax, pa)
+                    bmin = bmax = None
+                    for i in range(4):
+                        pb = ocx[i] * ax + ocz[i] * az
+                        bmin = pb if bmin is None else jnp.minimum(bmin, pb)
+                        bmax = pb if bmax is None else jnp.maximum(bmax, pb)
+                    separated = separated | (amax < bmin) | (bmax < amin)
+                hit = (~separated) & (ot_ref[OT_ACT, m] > 0.5)
+                collided = collided | hit
+
+                # proximity penalty (safety circles)
+                dxo = ot_ref[OT_PX, m] - acx
+                dzo = ot_ref[OT_PZ, m] - acz
+                dist_o = jnp.sqrt(dxo * dxo + dzo * dzo)
+                score = dist_o - C.AGENT_SAFETY_RAD - ot_ref[OT_RAD, m]
+                is_act = ot_ref[OT_ACT, m] > 0.5
+                is_dyn = ot_ref[OT_DYN, m] > 0.5
+                prox_static = jnp.where(
+                    is_act & ~is_dyn, jnp.minimum(prox_static, score),
+                    prox_static,
+                )
+                prox_dyn = prox_dyn + jnp.where(
+                    is_act & is_dyn, jnp.minimum(0.0, score), 0.0
+                )
+        col_penalty = jnp.minimum(0.0, prox_static) + prox_dyn
+
+        valid = all_driv & ~collided
+
+        # ---- lane position (closest_curve_point + get_lane_pos2) ------
+        # fetch this tile's curve package via table_T @ onehot_T
+        oh = (
+            jax.lax.broadcasted_iota(jnp.int32, (T_tiles, BB), 0)
+            == tid_pos
+        ).astype(f32)  # [T, BB]
+        pkg = jax.lax.dot_general(
+            ct_ref[:, :], oh,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=f32,
+        )  # [CT_F, BB]
+
+        best_dot = jnp.full_like(pos_x, -1e30)
+        cps = [jnp.zeros_like(pos_x) for _ in range(12)]
+        for c in range(N_CURVES):
+            chx = pkg[CT_CHX + c, :][None, :]
+            chz = pkg[CT_CHZ + c, :][None, :]
+            vld = pkg[CT_VALID + c, :][None, :]
+            dot = chx * dir_x + chz * dir_z
+            dot = jnp.where(vld > 0.5, dot, -1e30)
+            better = dot > best_dot
+            best_dot = jnp.where(better, dot, best_dot)
+            for k in range(12):
+                val = pkg[CT_CPS + c * 12 + k, :][None, :]
+                cps[k] = jnp.where(better, val, cps[k])
+        # cps rows: [x0,z0, x1,z1, x2,z2, x3,z3, ...] -> use layout
+        # k: 0..11 = (x,y?,z) triplets? We pack only x/z (y=0):
+        # k = c*? see fused_env packing: [x0,z0,x1,z1,x2,z2,x3,z3] + pad
+        x0, z0, x1, z1, x2, z2, x3, z3 = cps[:8]
+
+        def bz_point(t):
+            u = 1.0 - t
+            w0 = u * u * u
+            w1 = 3.0 * t * u * u
+            w2 = 3.0 * t * t * u
+            w3 = t * t * t
+            return (w0 * x0 + w1 * x1 + w2 * x2 + w3 * x3,
+                    w0 * z0 + w1 * z1 + w2 * z2 + w3 * z3)
+
+        t_bot = jnp.zeros_like(pos_x)
+        t_top = jnp.ones_like(pos_x)
+        for _ in range(C.BEZIER_CLOSEST_ITERS):
+            mid = 0.5 * (t_bot + t_top)
+            bx, bz_ = bz_point(t_bot)
+            tx, tz = bz_point(t_top)
+            db = (bx - pos_x) ** 2 + (bz_ - pos_z) ** 2
+            dtp = (tx - pos_x) ** 2 + (tz - pos_z) ** 2
+            keep_bot = db < dtp
+            t_bot, t_top = (
+                jnp.where(keep_bot, t_bot, mid),
+                jnp.where(keep_bot, mid, t_top),
+            )
+        t_star = 0.5 * (t_bot + t_top)
+        px_c, pz_c = bz_point(t_star)
+        u = 1.0 - t_star
+        tanx = (3 * u * u * (x1 - x0) + 6 * u * t_star * (x2 - x1)
+                + 3 * t_star * t_star * (x3 - x2))
+        tanz = (3 * u * u * (z1 - z0) + 6 * u * t_star * (z2 - z1)
+                + 3 * t_star * t_star * (z3 - z2))
+        tinv = jax.lax.rsqrt(jnp.maximum(tanx * tanx + tanz * tanz, 1e-24))
+        tanx = tanx * tinv
+        tanz = tanz * tinv
+
+        dot_dir = jnp.clip(dir_x * tanx + dir_z * tanz, -1.0, 1.0)
+        # right-of-curve = cross(tangent, up): (tz*1? ) for t=(tx,0,tz):
+        # cross((tx,0,tz),(0,1,0)) = (-tz, 0, tx)
+        rox = -tanz
+        roz = tanx
+        signed_dist = (pos_x - px_c) * rox + (pos_z - pz_c) * roz
+        # acos via atan2-free approx? use jnp.arccos (lowered on VPU)
+        ang_rad = jnp.arccos(dot_dir)
+        ang_rad = jnp.where(dir_x * rox + dir_z * roz < 0.0, -ang_rad,
+                            ang_rad)
+        in_lane = d_c
+
+        # ---- reward / done (simulator.py step + compute_reward) -------
+        reward_full = (
+            C.REWARD_SPEED_COEF * speed * dot_dir
+            + C.REWARD_DIST_COEF * jnp.abs(signed_dist)
+            + C.REWARD_COLLISION_COEF * col_penalty
+        )
+        reward_alive = jnp.where(
+            in_lane, reward_full, C.REWARD_COLLISION_COEF * col_penalty
+        )
+        crashed = ~valid
+        truncated = step_cnt >= max_steps
+        done = crashed | truncated
+        reward = jnp.where(crashed, C.REWARD_INVALID_POSE, reward_alive)
+
+        # ---- auto-reset from the spawn bank ---------------------------
+        if auto_reset:
+            h = _hash_u32(
+                (rng_ctr.astype(jnp.int32) * 1664525) & 0x7FFFFFFF,
+                env_id.astype(jnp.int32),
+            )
+            sidx = h % max(n_spawn_ok, 1)
+            ohb = (
+                jax.lax.broadcasted_iota(jnp.int32, (BANK_K, BB), 0)
+                == sidx
+            ).astype(f32)
+            sp = jax.lax.dot_general(
+                bank_ref[:, :], ohb,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=f32,
+            )  # [8, BB]
+            pos_x = jnp.where(done, sp[BK_X, :][None, :], pos_x)
+            pos_y = jnp.where(done, sp[BK_Y, :][None, :], pos_y)
+            pos_z = jnp.where(done, sp[BK_Z, :][None, :], pos_z)
+            angle = jnp.where(done, sp[BK_ANG, :][None, :], angle)
+            speed = jnp.where(done, 0.0, speed)
+            vl = jnp.where(done, 0.0, vl)
+            vr = jnp.where(done, 0.0, vr)
+            step_cnt = jnp.where(done, 0.0, step_cnt)
+        rng_ctr = rng_ctr + 1.0
+
+        # ---- write back ----------------------------------------------
+        z = jnp.zeros((1, BB), f32)
+        rows = [
+            pos_x, pos_y, pos_z, angle, speed, vl, vr, step_cnt, rng_ctr,
+            robot_speed, wheel_dist, act0, act1,
+            reward, done.astype(f32), signed_dist, dot_dir,
+            ang_rad * (180.0 / np.pi), in_lane.astype(f32),
+            collided.astype(f32), step_cnt * dt, env_id,
+        ]
+        while len(rows) < NF:
+            rows.append(z)
+        out_ref[:, :] = jnp.concatenate(rows, axis=0)
+
+    return kernel
+
+
+def build_tables(cfg, maps):
+    """Static (numpy) kernel tables from a compiled map. Returns dict."""
+    Hg, Wg = maps.grid_shape
+    n_tiles = Hg * Wg
+    T_pad = n_tiles  # contraction dim; MXU pads internally
+
+    curves = np.asarray(maps.curves, dtype=np.float32).reshape(
+        n_tiles, -1, 4, 3
+    )
+    cmask = np.asarray(maps.curve_mask).reshape(n_tiles, -1)
+    nC = curves.shape[1]
+    ct = np.zeros((CT_F, n_tiles), dtype=np.float32)
+    for t in range(n_tiles):
+        for c in range(min(nC, N_CURVES)):
+            cps = curves[t, c]
+            # pack x/z of the 4 control points: rows c*12 + [0..7]
+            for k in range(4):
+                ct[CT_CPS + c * 12 + 2 * k, t] = cps[k, 0]
+                ct[CT_CPS + c * 12 + 2 * k + 1, t] = cps[k, 2]
+            if cmask[t, c]:
+                ch = cps[3] - cps[0]
+                n = max(float(np.hypot(ch[0], ch[2])), 1e-12)
+                ct[CT_CHX + c, t] = ch[0] / n
+                ct[CT_CHZ + c, t] = ch[2] / n
+                ct[CT_VALID + c, t] = 1.0
+
+    # packed tile words (variant 0 — domain_rand off fast path)
+    kind = np.asarray(maps.tile_kind).reshape(-1).astype(np.int64)
+    ang = np.asarray(maps.tile_angle).reshape(-1).astype(np.int64)
+    byte = (kind & 0xF) | ((ang & 0x3) << 4)
+    n_words = -(-n_tiles // 4)
+    b = np.zeros(n_words * 4, dtype=np.int64)
+    b[:n_tiles] = byte
+    b4 = b.reshape(n_words, 4)
+    words = (
+        b4[:, 0] | (b4[:, 1] << 8) | (b4[:, 2] << 16) | (b4[:, 3] << 24)
+    ).astype(np.int32)
+    wpad = max(-(-n_words // 128) * 128, 128)
+    words_padded = np.zeros((1, wpad), dtype=np.int32)
+    words_padded[0, :n_words] = words
+
+    # object table (static poses; dynamic objects use their initial pose
+    # in this fast path — exact for static maps, approximate for NPC maps)
+    M = int(np.asarray(maps.obj_mask).sum())
+    ot = np.zeros((OT_F, max(M, 1)), dtype=np.float32)
+    if M:
+        mask = np.asarray(maps.obj_mask)
+        oc = np.asarray(maps.obj_corners)[mask]
+        on = np.asarray(maps.obj_norms)[mask]
+        op = np.asarray(maps.obj_pos)[mask]
+        orad = np.asarray(maps.obj_safety_rad)[mask]
+        odyn = np.asarray(maps.obj_is_dynamic)[mask]
+        for m in range(M):
+            for i in range(4):
+                ot[OT_CX[2 * i], m] = oc[m, i, 0]
+                ot[OT_CX[2 * i + 1], m] = oc[m, i, 1]
+            for i in range(2):
+                ot[OT_NX[2 * i], m] = on[m, i, 0]
+                ot[OT_NX[2 * i + 1], m] = on[m, i, 1]
+            ot[OT_PX, m] = op[m, 0]
+            ot[OT_PZ, m] = op[m, 2]
+            ot[OT_RAD, m] = orad[m]
+            ot[OT_ACT, m] = 1.0
+            ot[OT_DYN, m] = float(odyn[m])
+
+    # spawn bank, transposed, first BANK_K entries (sorted by |lane deg|)
+    sp = np.asarray(maps.spawn_pos)[:BANK_K]
+    sa = np.asarray(maps.spawn_angle)[:BANK_K]
+    sd = np.asarray(maps.spawn_lane_deg)[:BANK_K]
+    bank = np.zeros((8, BANK_K), dtype=np.float32)
+    bank[BK_X] = sp[:, 0]
+    bank[BK_Y] = sp[:, 1]
+    bank[BK_Z] = sp[:, 2]
+    bank[BK_ANG] = sa
+    n_ok = int((np.abs(sd) < cfg.accept_start_angle_deg).sum())
+    n_ok = max(n_ok, 1)
+
+    return dict(
+        ct=ct, words=words_padded, ot=ot, bank=bank, n_ok=n_ok,
+        n_words=n_words, M=M, Hg=Hg, Wg=Wg,
+        ts_inv=np.float32(1.0 / float(maps.tile_size)),
+    )
+
+
+def state_step_pallas(cfg, maps, blob, actions, tables=None,
+                      interpret=None):
+    """One fused state step. blob: f32 [NF, B]; actions [B, 2].
+
+    Returns the updated blob (outputs in the F_REWARD.. rows).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    if tables is None:
+        tables = build_tables(cfg, maps)
+    B = blob.shape[1]
+    assert B % BB == 0, B
+
+    blob = blob.at[F_ACT0, :].set(actions[:, 0])
+    blob = blob.at[F_ACT1, :].set(actions[:, 1])
+
+    kern = make_state_kernel(
+        cfg, tables["Hg"], tables["Wg"], tables["n_words"], tables["M"],
+        tables["n_ok"],
+    )
+    ct = jnp.asarray(tables["ct"])
+    words = jnp.asarray(tables["words"])
+    ot = jnp.asarray(tables["ot"])
+    bank = jnp.asarray(tables["bank"])
+    tsv = jnp.full((1, 1), tables["ts_inv"], jnp.float32)
+
+    grid = (B // BB,)
+    out = pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((NF, B), jnp.float32),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((NF, BB), lambda b: (0, b),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(words.shape, lambda b: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(ct.shape, lambda b: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(ot.shape, lambda b: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(bank.shape, lambda b: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda b: (0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((NF, BB), lambda b: (0, b),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(blob, words, ct, ot, bank, tsv)
+    return out

@@ -1,0 +1,559 @@
+"""Fused Pallas TPU render kernel: camera + ground + objects + sky.
+
+One kernel invocation renders one env's full camera frame; the grid runs
+over the env batch. This is the speed-of-light path replacing the XLA
+composition in raster.py (which remains the reference implementation for
+CPU/goldens — the two are compared in tests/test_pallas_render.py).
+
+TPU-native design notes (see /opt/skills/guides/pallas_guide.md):
+ * Pixels live in a flat [HW/128, 128] layout — no cross-lane reshapes,
+   every op is straight VPU vector math on aligned vregs.
+ * There are NO gathers. Per-pixel tile properties (kind, orientation,
+   texture variant) are packed 8-bits-per-tile into int32 words at reset
+   (env.py::pack_tile_words); the kernel fetches them with a short
+   select-accumulate chain over the <=64 words — O(words) vector selects
+   instead of a scatter/gather unit the TPU doesn't have.
+ * Road shading is analytic (render/shading.py formulas inlined,
+   kernel-safe subset: no arctan2) — procedural texture == arithmetic.
+ * The K nearest objects are prepared outside (top-k + one-hot matmul
+   prim fetch) and passed as a dense [K, PRIM_F] block; ray/primitive
+   intersection is unrolled straight-line code.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from dtown import constants as Cc
+from dtown import types as T
+from dtown.geometry import get_dir_vec, get_right_vec, sincos
+from dtown.render import meshes as meshlib
+from dtown.render.shading import (
+    ASPHALT, DASH_DUTY, DASH_PERIOD, EDGE_INSET, EMPTY, FLOOR, GRASS,
+    LINE_W, NOISE_AMP, NOISE_CELLS, WHITE, YELLOW,
+)
+
+LANE_N = 128  # pixel lane width
+
+# camera/scene parameter vector layout (per env)
+CAM_F = 32
+(C_EYE, C_FWD, C_RIGHT, C_UP, C_TANX, C_TANY, C_SHADE, C_GND, C_HOR,
+ C_TSINV, C_LIGHT, C_AMB) = (0, 3, 6, 9, 12, 13, 14, 15, 18, 21, 22, 25)
+
+# per-object feature vector: pos(3) sin cos inv_scale scale active
+OBJ_F = 8
+# per-prim feature vector: type cx cy cz p0 p1 p2 r g b
+PRIM_F = 10
+P_MAX = meshlib.P_MAX
+
+
+def _select_word(words_ref, widx, n_words):
+    """Select-accumulate 'gather': word value at per-pixel index widx.
+
+    words_ref: int32 [1, 1, WORDS_PAD] VMEM row; widx int32 [S, L].
+    """
+    word = jnp.zeros_like(widx)
+    for w in range(n_words):
+        word = jnp.where(widx == w, words_ref[0, 0, w], word)
+    return word
+
+
+def _shade_pixels(kind, angle_idx, variant, u, v):
+    """Kernel-safe port of shading.shade_tile (no arctan2, no tables)."""
+    f32 = jnp.float32
+    # rotate uv to base orientation: angle in {0,1,2,3}
+    c = jnp.where(angle_idx == 0, 1.0, jnp.where(angle_idx == 2, -1.0, 0.0))
+    s = jnp.where(angle_idx == 1, 1.0, jnp.where(angle_idx == 3, -1.0, 0.0))
+    du = u - 0.5
+    dv = v - 0.5
+    bu = du * c - dv * s + 0.5
+    bv = dv * c + du * s + 0.5
+
+    half_w = LINE_W / 2
+
+    def line(d):
+        return jnp.abs(d) < half_w
+
+    def dashed(p):
+        return (p / DASH_PERIOD) % 1.0 < DASH_DUTY
+
+    straight_center = line(bu - 0.5) & dashed(bv)
+    straight_edge = line(bu - EDGE_INSET) | line(bu - (1 - EDGE_INSET))
+
+    def arc(cu, cv):
+        dx = bu - cu
+        dz = bv - cv
+        r = jnp.sqrt(dx * dx + dz * dz)
+        # dash position along the quarter arc: r * theta with theta
+        # approximated monotonically by |dz| / (|dx| + |dz|) * (pi/2)
+        tprox = jnp.abs(dz) / jnp.maximum(jnp.abs(dx) + jnp.abs(dz), 1e-6)
+        center = line(r - 0.5) & dashed(r * tprox * 1.5707964)
+        edge = line(r - EDGE_INSET) | line(r - (1 - EDGE_INSET))
+        return center, edge
+
+    cl_center, cl_edge = arc(1.0, 0.0)
+    cr_center, cr_edge = arc(0.0, 0.0)
+
+    zm_m = line(bu - 0.5) & (bv < 0.5)
+    zp_m = line(bu - 0.5) & (bv >= 0.5)
+    xm_m = line(bv - 0.5) & (bu < 0.5)
+    xp_m = line(bv - 0.5) & (bu >= 0.5)
+    zm_s = (jnp.abs(bv - 0.08) < 0.02) & (bu > 0.5) & (bu < 0.8)
+    zp_s = (jnp.abs(bv - 0.92) < 0.02) & (bu > 0.2) & (bu < 0.5)
+    xm_s = (jnp.abs(bu - 0.08) < 0.02) & (bv > 0.2) & (bv < 0.5)
+    xp_s = (jnp.abs(bu - 0.92) < 0.02) & (bv > 0.5) & (bv < 0.8)
+    dash_uv = dashed(bu + bv)
+
+    k = kind
+    K = T
+    k3l_center = (zm_m | zp_m | xp_m) & dash_uv
+    k3r_center = (zm_m | zp_m | xm_m) & dash_uv
+    k4_center = (zm_m | zp_m | xm_m | xp_m) & dash_uv
+    k3l_stop = zm_s | zp_s | xp_s
+    k3r_stop = zm_s | zp_s | xm_s
+    k4_stop = zm_s | zp_s | xm_s | xp_s
+
+    is_road = (k >= K.TILE_STRAIGHT) & (k <= K.TILE_ASPHALT)
+
+    yellow = (
+        ((k == K.TILE_STRAIGHT) & straight_center)
+        | ((k == K.TILE_CURVE_LEFT) & cl_center)
+        | ((k == K.TILE_CURVE_RIGHT) & cr_center)
+        | ((k == K.TILE_3WAY_LEFT) & k3l_center)
+        | ((k == K.TILE_3WAY_RIGHT) & k3r_center)
+        | ((k == K.TILE_4WAY) & k4_center)
+    )
+    white = (
+        ((k == K.TILE_STRAIGHT) & straight_edge)
+        | ((k == K.TILE_CURVE_LEFT) & cl_edge)
+        | ((k == K.TILE_CURVE_RIGHT) & cr_edge)
+        | ((k == K.TILE_3WAY_LEFT) & k3l_stop)
+        | ((k == K.TILE_3WAY_RIGHT) & k3r_stop)
+        | ((k == K.TILE_4WAY) & k4_stop)
+    )
+
+    is_grass = k == K.TILE_GRASS
+    is_floor = k == K.TILE_FLOOR
+
+    def chan(ci):
+        base = jnp.where(
+            is_road, ASPHALT[ci],
+            jnp.where(is_grass, GRASS[ci],
+                      jnp.where(is_floor, FLOOR[ci], EMPTY[ci])),
+        )
+        out = jnp.where(yellow, YELLOW[ci], base)
+        return jnp.where(white, WHITE[ci], out)
+
+    r_, g_, b_ = chan(0), chan(1), chan(2)
+
+    # integer-hash noise (same as shading._hash_noise)
+    tx = jnp.clip((bu * NOISE_CELLS).astype(jnp.int32), 0, NOISE_CELLS - 1)
+    ty = jnp.clip((bv * NOISE_CELLS).astype(jnp.int32), 0, NOISE_CELLS - 1)
+    seed = variant + 7 * kind
+    h = (tx * 73856093 + ty * 19349663 + seed * 83492791) & 0x7FFFFFFF
+    h = (h ^ (h >> 13)) * 1274126177 & 0x7FFFFFFF
+    h = h ^ (h >> 16)
+    n = (h & 0xFFFF).astype(f32) / 32768.0 - 1.0
+    amp = jnp.where(is_grass, 0.03, jnp.where(is_road, NOISE_AMP, 0.015))
+    bright = 0.94 + 0.04 * variant.astype(f32)
+    noise = amp * n
+    r_ = jnp.clip(r_ * bright + noise, 0.0, 1.0)
+    g_ = jnp.clip(g_ * bright + noise, 0.0, 1.0)
+    b_ = jnp.clip(b_ * bright + noise, 0.0, 1.0)
+    return r_, g_, b_
+
+
+def _make_kernel(H, W, Hg, Wg, n_words, Kvis, sublanes):
+    """Build the kernel fn for static image/map dims."""
+
+    def kernel(cam_ref, words_ref, obj_ref, prim_ref, out_ref):
+        f32 = jnp.float32
+        S = sublanes
+        # flat pixel index p = s * 128 + l;  y = p // W, x = p % W
+        p = (
+            jax.lax.broadcasted_iota(jnp.int32, (S, LANE_N), 0) * LANE_N
+            + jax.lax.broadcasted_iota(jnp.int32, (S, LANE_N), 1)
+        )
+        y = p // W
+        x = p - y * W
+
+        cam = cam_ref
+        eye0 = cam[0, 0, C_EYE]
+        eye1 = cam[0, 0, C_EYE + 1]
+        eye2 = cam[0, 0, C_EYE + 2]
+        tanx = cam[0, 0, C_TANX]
+        tany = cam[0, 0, C_TANY]
+
+        # ndc in [-1, 1]; y=0 is the top row (+1)
+        xn = ((x.astype(f32) + 0.5) / W - 0.5) * 2.0 * tanx
+        yn = (0.5 - (y.astype(f32) + 0.5) / H) * 2.0 * tany
+
+        dx = cam[0, 0, C_FWD] + xn * cam[0, 0, C_RIGHT] + yn * cam[0, 0, C_UP]
+        dy = cam[0, 0, C_FWD + 1] + xn * cam[0, 0, C_RIGHT + 1] + yn * cam[0, 0, C_UP + 1]
+        dz = cam[0, 0, C_FWD + 2] + xn * cam[0, 0, C_RIGHT + 2] + yn * cam[0, 0, C_UP + 2]
+        inv_n = jax.lax.rsqrt(dx * dx + dy * dy + dz * dz)
+        dx = dx * inv_n
+        dy = dy * inv_n
+        dz = dz * inv_n
+
+        hits_ground = dy < -1e-6
+        t_g = jnp.where(hits_ground, -eye1 / jnp.where(hits_ground, dy, -1.0),
+                        jnp.float32(1e30))
+        px = eye0 + t_g * dx
+        pz = eye2 + t_g * dz
+
+        ts_inv = cam[0, 0, C_TSINV]
+        fx = px * ts_inv
+        fz = pz * ts_inv
+        ti = jnp.floor(fx)
+        tj = jnp.floor(fz)
+        in_grid = (
+            (ti >= 0) & (ti < Wg) & (tj >= 0) & (tj < Hg) & hits_ground
+        )
+        ii = jnp.clip(ti.astype(jnp.int32), 0, Wg - 1)
+        jj = jnp.clip(tj.astype(jnp.int32), 0, Hg - 1)
+        tid = jj * Wg + ii
+
+        # packed tile byte: kind(4) | angle(2) | variant(2)
+        word = _select_word(words_ref, tid >> 2, n_words)
+        shift = (tid & 3) * 8
+        byte = (word >> shift) & 0xFF
+        kind = byte & 0xF
+        angle_idx = (byte >> 4) & 0x3
+        variant = (byte >> 6) & 0x3
+
+        u = fx - ti
+        v = fz - tj
+        r_, g_, b_ = _shade_pixels(kind, angle_idx, variant, u, v)
+
+        # out-of-grid ground -> env ground color; shade by light
+        shade = cam[0, 0, C_SHADE]
+        r_ = jnp.where(in_grid, r_, cam[0, 0, C_GND]) * shade
+        g_ = jnp.where(in_grid, g_, cam[0, 0, C_GND + 1]) * shade
+        b_ = jnp.where(in_grid, b_, cam[0, 0, C_GND + 2]) * shade
+
+        # sky
+        sky_f = 1.0 - 0.35 * jnp.maximum(0.0, dy)
+        r_ = jnp.where(hits_ground, r_, cam[0, 0, C_HOR] * sky_f)
+        g_ = jnp.where(hits_ground, g_, cam[0, 0, C_HOR + 1] * sky_f)
+        b_ = jnp.where(hits_ground, b_, cam[0, 0, C_HOR + 2] * sky_f)
+
+        # ---- objects: unrolled K nearest, P prims each ---------------
+        lx = cam[0, 0, C_LIGHT]
+        ly = cam[0, 0, C_LIGHT + 1]
+        lz = cam[0, 0, C_LIGHT + 2]
+        amb = cam[0, 0, C_AMB]
+        t_best = jnp.where(hits_ground, t_g, jnp.float32(1e30))
+
+        for k in range(Kvis):
+            ox = obj_ref[0, 0, k * OBJ_F + 0]
+            oy = obj_ref[0, 0, k * OBJ_F + 1]
+            oz = obj_ref[0, 0, k * OBJ_F + 2]
+            s_r = obj_ref[0, 0, k * OBJ_F + 3]
+            c_r = obj_ref[0, 0, k * OBJ_F + 4]
+            inv_s = obj_ref[0, 0, k * OBJ_F + 5]
+            scale = obj_ref[0, 0, k * OBJ_F + 6]
+            o_act = obj_ref[0, 0, k * OBJ_F + 7]
+
+            # ray into model space: rotate by -y_rot (s_r, c_r are
+            # sincos(-rot)), scale by 1/s
+            ex = (eye0 - ox) * inv_s
+            ey = (eye1 - oy) * inv_s
+            ez = (eye2 - oz) * inv_s
+            emx = ex * c_r + ez * s_r
+            emz = ez * c_r - ex * s_r
+            dmx = dx * c_r + dz * s_r
+            dmz = dz * c_r - dx * s_r
+
+            for pi in range(P_MAX):
+                base = (k * P_MAX + pi) * PRIM_F
+                ptype = prim_ref[0, 0, base + 0]
+                cx = prim_ref[0, 0, base + 1]
+                cy = prim_ref[0, 0, base + 2]
+                cz = prim_ref[0, 0, base + 3]
+                p0 = prim_ref[0, 0, base + 4]
+                p1 = prim_ref[0, 0, base + 5]
+                p2 = prim_ref[0, 0, base + 6]
+                pr = prim_ref[0, 0, base + 7]
+                pg = prim_ref[0, 0, base + 8]
+                pb = prim_ref[0, 0, base + 9]
+
+                ocx = emx - cx
+                ocy = ey - cy
+                ocz = emz - cz
+
+                # sphere (ptype < 0.5): |oc + t d|^2 = p0^2
+                bq = ocx * dmx + ocy * dy + ocz * dmz
+                cq = ocx * ocx + ocy * ocy + ocz * ocz - p0 * p0
+                disc = bq * bq - cq
+                t_sph = -bq - jnp.sqrt(jnp.maximum(disc, 0.0))
+                sph_hit = (disc > 0.0) & (t_sph > 1e-4)
+
+                # box slab test (half extents p0, p1, p2)
+                def slab(oc, dm, he):
+                    inv = 1.0 / jnp.where(jnp.abs(dm) < 1e-9,
+                                          jnp.where(dm >= 0, 1e-9, -1e-9),
+                                          dm)
+                    t1 = (-he - oc) * inv
+                    t2 = (he - oc) * inv
+                    return jnp.minimum(t1, t2), jnp.maximum(t1, t2)
+
+                n1, x1 = slab(ocx, dmx, p0)
+                n2, x2 = slab(ocy, dy, p1)
+                n3, x3 = slab(ocz, dmz, p2)
+                tmin = jnp.maximum(jnp.maximum(n1, n2), n3)
+                tmax = jnp.minimum(jnp.minimum(x1, x2), x3)
+                t_box = jnp.where(tmin > 1e-4, tmin, tmax)
+                box_hit = (tmax >= jnp.maximum(tmin, 1e-4)) & (t_box > 1e-4)
+
+                is_box = ptype > 0.5
+                t_m = jnp.where(is_box, t_box, t_sph)
+                hit = jnp.where(is_box, box_hit, sph_hit)
+                t_w = t_m * scale
+                closer = hit & (t_w < t_best) & (o_act > 0.5)
+
+                # normal (model space)
+                hx = emx + t_m * dmx - cx
+                hy = ey + t_m * dy - cy
+                hz = emz + t_m * dmz - cz
+                # sphere: normalized rel; box: dominant-axis sign
+                rinv = jax.lax.rsqrt(
+                    jnp.maximum(hx * hx + hy * hy + hz * hz, 1e-12)
+                )
+                sx, sy, sz = hx * rinv, hy * rinv, hz * rinv
+                ax_ = jnp.abs(hx) / jnp.maximum(p0, 1e-9)
+                ay_ = jnp.abs(hy) / jnp.maximum(p1, 1e-9)
+                az_ = jnp.abs(hz) / jnp.maximum(p2, 1e-9)
+                xb = (ax_ >= ay_) & (ax_ >= az_)
+                yb = (~xb) & (ay_ >= az_)
+                bx = jnp.where(xb, jnp.sign(hx), 0.0)
+                by = jnp.where(yb, jnp.sign(hy), 0.0)
+                bz = jnp.where(xb | yb, 0.0, jnp.sign(hz))
+                nmx = jnp.where(is_box, bx, sx)
+                nmy = jnp.where(is_box, by, sy)
+                nmz = jnp.where(is_box, bz, sz)
+                # back to world: rotate by +rot (inverse of (s_r, c_r))
+                nwx = nmx * c_r - nmz * s_r
+                nwz = nmz * c_r + nmx * s_r
+
+                diff = jnp.maximum(0.0, -(nwx * lx + nmy * ly + nwz * lz))
+                sh = amb + (1.0 - amb) * diff
+                r_ = jnp.where(closer, pr * sh, r_)
+                g_ = jnp.where(closer, pg * sh, g_)
+                b_ = jnp.where(closer, pb * sh, b_)
+                t_best = jnp.where(closer, t_w, t_best)
+
+        # Mosaic has no direct f32->u8 cast; go through int32
+        def to_u8(x):
+            return (jnp.clip(x, 0.0, 1.0) * 255.0 + 0.5).astype(
+                jnp.int32
+            ).astype(jnp.uint8)
+
+        out_ref[0, 0] = to_u8(r_)
+        out_ref[0, 1] = to_u8(g_)
+        out_ref[0, 2] = to_u8(b_)
+
+    return kernel
+
+
+def pack_tile_words(maps, tex_variant):
+    """Pack per-tile (kind, angle, variant) into int32 words, 4 tiles per
+    word, 8 bits per tile: kind | angle<<4 | variant<<6. [W_WORDS_PAD]"""
+    kind = maps.tile_kind.reshape(-1).astype(jnp.int32)
+    angle = maps.tile_angle.reshape(-1).astype(jnp.int32)
+    var = tex_variant.reshape(-1).astype(jnp.int32)
+    byte = (kind & 0xF) | ((angle & 0x3) << 4) | ((var & 0x3) << 6)
+    n = byte.shape[0]
+    n_words = -(-n // 4)
+    pad = n_words * 4 - n
+    byte = jnp.pad(byte, (0, pad))
+    b4 = byte.reshape(n_words, 4)
+    words = (
+        b4[:, 0] | (b4[:, 1] << 8) | (b4[:, 2] << 16) | (b4[:, 3] << 24)
+    )
+    # pad lane dim to 128 for a clean VMEM row
+    wpad = -(-n_words // LANE_N) * LANE_N - n_words
+    return jnp.pad(words, (0, wpad))
+
+
+def _prim_matrix():
+    """[n_kinds, P_MAX * PRIM_F] flat prim features per object kind."""
+    t = meshlib.prim_tables()
+    Kn = t["type"].shape[0]
+    out = np.zeros((Kn, P_MAX * PRIM_F), dtype=np.float32)
+    for k in range(Kn):
+        for p in range(P_MAX):
+            base = p * PRIM_F
+            if not t["mask"][k, p]:
+                out[k, base + 4:base + 7] = 0.0  # zero extents: no hit
+                continue
+            out[k, base + 0] = float(t["type"][k, p])
+            out[k, base + 1:base + 4] = t["center"][k, p]
+            out[k, base + 4:base + 7] = t["param"][k, p]
+            out[k, base + 7:base + 10] = t["color"][k, p]
+    return out
+
+
+def prepare_object_blocks(cfg, maps, state, eye):
+    """Per-env dense object/prim feature rows for the kernel.
+
+    Returns (obj [K*OBJ_F], prim [K*P_MAX*PRIM_F]). Uses one-hot matmuls
+    (not gathers) to fetch per-object prim features by kind.
+    """
+    from dtown.env import active_objects
+
+    Kvis = min(cfg.max_visible_objects, maps.max_objects)
+    active = active_objects(maps, state)
+    dist = jnp.linalg.norm(state.dyn.pos - eye[None, :], axis=-1)
+    score = jnp.where(active, -dist, -jnp.inf)
+    _, top = jax.lax.top_k(score, Kvis)
+
+    oh = (top[:, None] == jnp.arange(maps.max_objects)[None, :]).astype(
+        jnp.float32
+    )  # [K, M]
+    pos = oh @ state.dyn.pos
+    ang = oh @ state.dyn.angle
+    scale = oh @ maps.obj_scale
+    kind = oh @ maps.obj_kind.astype(jnp.float32)
+    act = oh @ active.astype(jnp.float32)
+    phase = oh @ state.dyn.phase.astype(jnp.float32)
+
+    s_r, c_r = sincos(-ang)
+    inv_s = 1.0 / jnp.maximum(scale, 1e-6)
+    obj = jnp.stack(
+        [pos[:, 0], pos[:, 1], pos[:, 2], s_r, c_r, inv_s, scale, act],
+        axis=-1,
+    ).reshape(-1)
+
+    prim_mat = jnp.asarray(_prim_matrix())  # [n_kinds, P*F]
+    koh = (
+        kind.astype(jnp.int32)[:, None]
+        == jnp.arange(prim_mat.shape[0])[None, :]
+    ).astype(jnp.float32)
+    prim = koh @ prim_mat  # [K, P*F]
+    # traffic-light lamp color by phase
+    is_lamp_kind = kind.astype(jnp.int32) == T.OBJ_KIND_IDS["trafficlight"]
+    lamp_base = (P_MAX - 1) * PRIM_F
+    green = phase >= 0.5
+    lamp_rgb = jnp.where(
+        green[:, None],
+        jnp.array([0.1, 0.85, 0.15]),
+        jnp.array([0.9, 0.1, 0.1]),
+    )
+    prim = prim.at[:, lamp_base + 7:lamp_base + 10].set(
+        jnp.where(is_lamp_kind[:, None], lamp_rgb,
+                  prim[:, lamp_base + 7:lamp_base + 10])
+    )
+    return obj, prim.reshape(-1)
+
+
+def prepare_camera_row(cfg, state):
+    """[CAM_F] f32 camera/scene parameters for one env."""
+    fwd_flat = get_dir_vec(state.angle)
+    right = get_right_vec(state.angle)
+    up_y = jnp.array([0.0, 1.0, 0.0], dtype=jnp.float32)
+    pitch = jnp.deg2rad(state.cam_angle)
+    sp, cp = sincos(pitch)
+    forward = cp * fwd_flat - sp * up_y
+    up = cp * up_y + sp * fwd_flat
+    eye = state.pos + state.cam_height * up_y + state.cam_fwd_dist * fwd_flat
+    tan_half = jnp.tan(0.5 * jnp.deg2rad(state.cam_fov_y))
+    aspect = cfg.camera_width / cfg.camera_height
+    diffuse = jnp.maximum(0.0, -state.light_dir[1])
+    shade = state.light_ambient + (1.0 - state.light_ambient) * diffuse
+
+    row = jnp.zeros((CAM_F,), jnp.float32)
+    row = row.at[C_EYE:C_EYE + 3].set(eye)
+    row = row.at[C_FWD:C_FWD + 3].set(forward)
+    row = row.at[C_RIGHT:C_RIGHT + 3].set(right)
+    row = row.at[C_UP:C_UP + 3].set(up)
+    row = row.at[C_TANX].set(tan_half * aspect)
+    row = row.at[C_TANY].set(tan_half)
+    row = row.at[C_SHADE].set(shade)
+    row = row.at[C_GND:C_GND + 3].set(state.ground_color)
+    row = row.at[C_HOR:C_HOR + 3].set(state.horizon_color)
+    row = row.at[C_TSINV].set(1.0 / jnp.float32(1.0) / jnp.asarray(1.0))
+    row = row.at[C_LIGHT:C_LIGHT + 3].set(state.light_dir)
+    row = row.at[C_AMB].set(state.light_ambient)
+    return row, eye
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def _noop(x):
+    return x
+
+
+def render_frames_pallas(cfg, maps, states, interpret=None):
+    """Batched render via the fused kernel. states: vmapped EnvState [B].
+
+    Returns uint8 [B, 3, H*W/128, 128] channel-plane frames; use
+    planes_to_nhwc() for the gym-facing [B, H, W, C] layout.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    H, W = cfg.camera_height, cfg.camera_width
+    HW = H * W
+    assert HW % LANE_N == 0, (H, W)
+    S = HW // LANE_N
+    Hg, Wg = maps.grid_shape
+    n_tiles = Hg * Wg
+    n_words = -(-n_tiles // 4)
+    words_pad = -(-n_words // LANE_N) * LANE_N
+    Kvis = min(cfg.max_visible_objects, maps.max_objects)
+    B = states.pos.shape[0]
+
+    def per_env(state):
+        cam, eye = prepare_camera_row(cfg, state)
+        cam = cam.at[C_TSINV].set(1.0 / maps.tile_size)
+        words = pack_tile_words(maps, state.tex_variant)
+        obj, prim = prepare_object_blocks(cfg, maps, state, eye)
+        return cam, words, obj, prim
+
+    cam, words, obj, prim = jax.vmap(per_env)(states)
+    # pad feature rows to the 128-lane width
+    def pad_row(a):
+        pad = -(-a.shape[-1] // LANE_N) * LANE_N - a.shape[-1]
+        return jnp.pad(a, ((0, 0), (0, pad)))
+
+    cam = pad_row(cam)[:, None, :]
+    words = words[:, None, :]
+    obj = pad_row(obj)[:, None, :]
+    prim = pad_row(prim)[:, None, :]
+
+    kernel = _make_kernel(H, W, Hg, Wg, n_words, Kvis, S)
+    grid = (B,)
+
+    def row_spec(width):
+        # [B, 1, width] rows; block (1, 1, width) satisfies the TPU rule
+        # that the last two block dims divide (8, 128) or equal the array
+        return pl.BlockSpec((1, 1, width), lambda b: (b, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((B, 3, S, LANE_N), jnp.uint8),
+        grid=grid,
+        in_specs=[
+            row_spec(cam.shape[2]),
+            row_spec(words.shape[2]),
+            row_spec(obj.shape[2]),
+            row_spec(prim.shape[2]),
+        ],
+        out_specs=pl.BlockSpec((1, 3, S, LANE_N), lambda b: (b, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(cam, words, obj, prim)
+    return out
+
+
+def planes_to_nhwc(cfg, planes):
+    """uint8 [B, 3, S, 128] -> [B, H, W, 3]."""
+    H, W = cfg.camera_height, cfg.camera_width
+    B = planes.shape[0]
+    flat = planes.reshape(B, 3, H * W)
+    return jnp.moveaxis(flat, 1, -1).reshape(B, H, W, 3)

@@ -1,0 +1,75 @@
+"""Cross-check the native (C++) map compiler against the python one.
+
+Tiles/curves/objects must match bit-for-bit; the spawn bank is
+property-checked (different RNG stream, same acceptance test).
+"""
+import numpy as np
+import pytest
+
+from dtown import map_loader
+from dtown import physics
+from dtown.geometry import get_lane_pos2
+
+native = pytest.importorskip("dtown.native")
+
+if not native.available():
+    pytest.skip("native toolchain unavailable", allow_module_level=True)
+
+MAPS = ["small_loop", "udem1", "loop_obstacles", "4way", "zigzag_dists",
+        "loop_pedestrians", "straight_road"]
+
+
+@pytest.mark.parametrize("name", MAPS)
+def test_native_matches_python(name):
+    nat = native.compile_map_native(f"dtown/maps/{name}.yaml")
+    py = map_loader.load_map(name)
+    np.testing.assert_array_equal(nat["tile_kind"], np.asarray(py.tile_kind))
+    np.testing.assert_array_equal(nat["tile_angle"], np.asarray(py.tile_angle))
+    np.testing.assert_array_equal(nat["drivable"], np.asarray(py.drivable))
+    np.testing.assert_array_equal(nat["curve_mask"], np.asarray(py.curve_mask))
+    np.testing.assert_allclose(nat["curves"], np.asarray(py.curves), atol=1e-6)
+    # compare real object slots only (padding conventions differ: python
+    # pads scale with 1 / identity norms, native zeros)
+    M = int(nat["n_objects"])
+    for f, pyf in [
+        ("obj_pos", py.obj_pos), ("obj_y_rot", py.obj_y_rot),
+        ("obj_scale", py.obj_scale), ("obj_corners", py.obj_corners),
+        ("obj_norms", py.obj_norms), ("obj_safety_rad", py.obj_safety_rad),
+        ("obj_halfdims", py.obj_halfdims), ("obj_height", py.obj_height),
+    ]:
+        np.testing.assert_allclose(
+            nat[f][:M], np.asarray(pyf)[:M], atol=1e-6, err_msg=f
+        )
+    np.testing.assert_array_equal(
+        nat["obj_kind"][:M], np.asarray(py.obj_kind)[:M]
+    )
+    np.testing.assert_array_equal(
+        nat["obj_dynamic"][:M], np.asarray(py.obj_is_dynamic)[:M]
+    )
+
+
+@pytest.mark.parametrize("name", ["small_loop", "udem1"])
+def test_native_spawn_bank_properties(name):
+    """Every native bank pose must pass the python acceptance test."""
+    import jax.numpy as jnp
+
+    nat = native.compile_map_native(f"dtown/maps/{name}.yaml")
+    py = map_loader.load_map(name)
+    assert nat["spawn_mask"].all()
+    # sorted by |lane angle|
+    deg = np.abs(nat["spawn_lane_deg"])
+    assert (np.diff(deg) >= -1e-9).all()
+
+    sel = np.linspace(0, 2047, 32).astype(int)
+    for k in sel:
+        pos = jnp.asarray(nat["spawn_pos"][k], jnp.float32)
+        ang = jnp.float32(nat["spawn_angle"][k])
+        valid, _ = physics.valid_pose(
+            py, pos, ang, py.obj_corners, py.obj_norms, py.obj_mask,
+            safety_factor=1.3,
+        )
+        assert bool(valid), (name, k)
+        lp = get_lane_pos2(py, pos, ang)
+        assert bool(lp.in_lane)
+        # native lane angle agrees with python computation
+        assert abs(float(lp.angle_deg) - nat["spawn_lane_deg"][k]) < 0.5
