@@ -43,6 +43,9 @@ def main():
     ap.add_argument("--cpu", action="store_true",
                     help="force local CPU backend (handled at import)")
     ap.add_argument("--renderer", default="pallas", choices=["xla", "pallas"])
+    ap.add_argument("--fused", action="store_true",
+                    help="blob-carried rollout: fused Pallas state kernel "
+                         "+ fused render kernel per step")
     ap.add_argument("--unroll", type=int, default=4,
                     help="scan unroll factor (amortizes per-iteration "
                          "while-loop overhead)")
@@ -88,6 +91,41 @@ def main():
         return states, rewards[-1] + obs_sums[-1].astype(jnp.float32)
 
     print(f"device: {jax.devices()[0]}", file=sys.stderr)
+
+    if args.fused:
+        from dtown.ops.fused_env import make_fused_rollout
+
+        init_blob, _, f_rollout = make_fused_rollout(cfg, maps, args.envs)
+        t0 = time.time()
+        blob, states = init_blob(jax.random.PRNGKey(0))
+        blob = jax.block_until_ready(blob)
+        print(f"reset compile+run: {time.time()-t0:.1f}s", file=sys.stderr)
+        actions = jnp.tile(jnp.array([0.4, 0.1], jnp.float32),
+                           (args.envs, 1))
+        t0 = time.time()
+        blob, r, o = jax.block_until_ready(
+            f_rollout(blob, states, actions, 2)
+        )
+        print(f"step compile+warmup: {time.time()-t0:.1f}s", file=sys.stderr)
+        t0 = time.time()
+        blob, r, o = jax.block_until_ready(
+            f_rollout(blob, states, actions, args.iters)
+        )
+        dt = time.time() - t0
+        steps_per_s = args.envs * args.iters / dt
+        print(
+            f"{args.iters} x {args.envs} envs in {dt:.3f}s "
+            f"({steps_per_s/1e6:.3f} M steps/s) [fused]", file=sys.stderr,
+        )
+        print(json.dumps({
+            "metric": f"env_steps_per_s_{args.size}x{args.size}_{args.obs}"
+                      f"_{args.envs}envs_{args.map}_fused",
+            "value": round(steps_per_s, 1),
+            "unit": "env-steps/s/chip",
+            "vs_baseline": round(steps_per_s / REFERENCE_STEPS_PER_S, 2),
+        }))
+        return
+
     t0 = time.time()
     states = jax.block_until_ready(v_reset(jax.random.PRNGKey(0)))
     print(f"reset compile+run: {time.time()-t0:.1f}s", file=sys.stderr)

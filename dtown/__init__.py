@@ -37,6 +37,10 @@ def make(id_or_map: str = None, **kwargs):
     from dtown.gym_compat import DuckietownEnv
 
     name = id_or_map or C.DEFAULT_MAP_NAME
+    if name == "MultiMap-v0":
+        from dtown.gym_compat import MultiMapEnv
+
+        return MultiMapEnv(**kwargs)
     if name.startswith("Duckietown-") and name.endswith("-v0"):
         name = name[len("Duckietown-"):-len("-v0")]
     return DuckietownEnv(map_name=name, **kwargs)

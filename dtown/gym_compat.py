@@ -96,3 +96,43 @@ class DuckietownEnv:
 
     def close(self):
         pass
+
+
+class MultiMapEnv:
+    """Cycles to the next map on every reset.
+
+    reference: envs/multimap_env.py::MultiMapEnv — owns one Simulator per
+    map yaml and advances on reset(); here each map is a DuckietownEnv
+    (jit caches are per-map, so switching is cheap after first use).
+    """
+
+    def __init__(self, map_names=None, seed: int = 0, **cfg_kwargs):
+        from dtown import map_loader
+
+        names = list(map_names) if map_names else map_loader.list_maps()
+        assert names, "no maps"
+        self.envs = [
+            DuckietownEnv(map_name=n, seed=seed + i, **cfg_kwargs)
+            for i, n in enumerate(names)
+        ]
+        self._idx = -1
+        self.env = self.envs[0]
+
+    def reset(self):
+        self._idx = (self._idx + 1) % len(self.envs)
+        self.env = self.envs[self._idx]
+        return self.env.reset()
+
+    def step(self, action):
+        return self.env.step(action)
+
+    def render(self, mode: str = "rgb_array"):
+        return self.env.render(mode)
+
+    def seed(self, seed: int = 0):
+        for i, e in enumerate(self.envs):
+            e.seed(seed + i)
+        return [seed]
+
+    def close(self):
+        pass

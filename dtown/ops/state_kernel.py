@@ -40,7 +40,7 @@ F_REWARD, F_DONE, F_LDIST, F_LDOT, F_LDEG, F_INLANE, F_COLL, F_TIME = (
 F_ENVID = 21
 NF = 24  # padded to a multiple of 8 sublanes
 
-BB = 128  # envs per kernel program (one lane-width)
+BB = 512  # envs per kernel program (tunable; fewer programs = less per-program overhead)
 
 # curve table lane layout per tile (transposed to [CT_F, T_pad]):
 # 12 curves x (cps 12 floats) = 144, then 12 chord_x, 12 chord_z,
@@ -71,6 +71,17 @@ def _sincos(x):
     return sincos(x)
 
 
+def _acos(x):
+    """Polynomial arccos (Abramowitz-Stegun 4.4.45, ~7e-5 rad) — Mosaic
+    has no arccos lowering."""
+    ax = jnp.abs(x)
+    p = -0.0187293
+    for c in (0.0742610, -0.2121144, 1.5707288):
+        p = p * ax + c
+    r = p * jnp.sqrt(jnp.maximum(1.0 - ax, 0.0))
+    return jnp.where(x < 0.0, np.pi - r, r)
+
+
 def _hash_u32(a, b):
     """Deterministic uint-ish hash of two int32 vectors -> positive int32."""
     h = (a * 73856093 + b * 19349663) & 0x7FFFFFFF
@@ -78,8 +89,16 @@ def _hash_u32(a, b):
     return h ^ (h >> 16)
 
 
-def make_state_kernel(cfg, Hg, Wg, n_words, M, n_spawn_ok):
-    """Kernel factory; all map/shape facts static."""
+def make_state_kernel(cfg, Hg, Wg, n_words, M, n_spawn_ok, bb=None):
+    """Kernel factory; all map/shape facts static.
+
+    DTOWN_KERNEL_SKIP (debug): comma list in {lane,sat,reset,driv} to
+    drop sections for performance attribution.
+    """
+    import os
+
+    skip = set(os.environ.get("DTOWN_KERNEL_SKIP", "").split(","))
+    bb = bb or BB
     dt = float(cfg.delta_time)
     frame_skip = int(cfg.frame_skip)
     use_wm = bool(cfg.use_wheel_model)
@@ -179,18 +198,24 @@ def make_state_kernel(cfg, Hg, Wg, n_words, M, n_spawn_ok):
 
         hw = 0.5 * C.ROBOT_WIDTH
         hl = 0.5 * C.ROBOT_LENGTH
-        d_c, tid_pos, _ = drivable_at(pos_x, pos_z)
-        d_c2, _, _ = drivable_at(acx, acz)
-        d_l, _, _ = drivable_at(acx - hw * right_x, acz - hw * right_z)
-        d_r, _, _ = drivable_at(acx + hw * right_x, acz + hw * right_z)
-        d_f, _, _ = drivable_at(acx + hl * dir_x, acz + hl * dir_z)
-        all_driv = d_c2 & d_l & d_r & d_f
+        if "driv" in skip:
+            tr = jnp.ones_like(pos_x) > 0.0
+            d_c = tid_pos = None
+            d_c, tid_pos = tr, jnp.zeros_like(pos_x).astype(jnp.int32)
+            all_driv = tr
+        else:
+            d_c, tid_pos, _ = drivable_at(pos_x, pos_z)
+            d_c2, _, _ = drivable_at(acx, acz)
+            d_l, _, _ = drivable_at(acx - hw * right_x, acz - hw * right_z)
+            d_r, _, _ = drivable_at(acx + hw * right_x, acz + hw * right_z)
+            d_f, _, _ = drivable_at(acx + hl * dir_x, acz + hl * dir_z)
+            all_driv = d_c2 & d_l & d_r & d_f
 
         # ---- SAT collision + proximity (collision.py semantics) -------
         collided = jnp.zeros_like(all_driv)
         prox_static = jnp.full_like(pos_x, 1e30)
         prox_dyn = jnp.zeros_like(pos_x)
-        if collision_on:
+        if collision_on and "sat" not in skip:
             # agent corners about the actual center
             agc = []
             for sf, sr in ((-1, 1), (1, 1), (1, -1), (-1, -1)):
@@ -243,79 +268,84 @@ def make_state_kernel(cfg, Hg, Wg, n_words, M, n_spawn_ok):
         valid = all_driv & ~collided
 
         # ---- lane position (closest_curve_point + get_lane_pos2) ------
-        # fetch this tile's curve package via table_T @ onehot_T
-        oh = (
-            jax.lax.broadcasted_iota(jnp.int32, (T_tiles, BB), 0)
-            == tid_pos
-        ).astype(f32)  # [T, BB]
-        pkg = jax.lax.dot_general(
-            ct_ref[:, :], oh,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=f32,
-        )  # [CT_F, BB]
+        if "lane" in skip:
+            signed_dist = jnp.zeros_like(pos_x)
+            dot_dir = jnp.ones_like(pos_x)
+            ang_rad = jnp.zeros_like(pos_x)
+            in_lane = d_c
+        else:
+            # fetch this tile's curve package via table_T @ onehot_T
+            oh = (
+                jax.lax.broadcasted_iota(jnp.int32, (T_tiles, bb), 0)
+                == tid_pos
+            ).astype(f32)  # [T, BB]
+            pkg = jax.lax.dot_general(
+                ct_ref[:, :], oh,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=f32,
+            )  # [CT_F, BB]
 
-        best_dot = jnp.full_like(pos_x, -1e30)
-        cps = [jnp.zeros_like(pos_x) for _ in range(12)]
-        for c in range(N_CURVES):
-            chx = pkg[CT_CHX + c, :][None, :]
-            chz = pkg[CT_CHZ + c, :][None, :]
-            vld = pkg[CT_VALID + c, :][None, :]
-            dot = chx * dir_x + chz * dir_z
-            dot = jnp.where(vld > 0.5, dot, -1e30)
-            better = dot > best_dot
-            best_dot = jnp.where(better, dot, best_dot)
-            for k in range(12):
-                val = pkg[CT_CPS + c * 12 + k, :][None, :]
-                cps[k] = jnp.where(better, val, cps[k])
-        # cps rows: [x0,z0, x1,z1, x2,z2, x3,z3, ...] -> use layout
-        # k: 0..11 = (x,y?,z) triplets? We pack only x/z (y=0):
-        # k = c*? see fused_env packing: [x0,z0,x1,z1,x2,z2,x3,z3] + pad
-        x0, z0, x1, z1, x2, z2, x3, z3 = cps[:8]
+            best_dot = jnp.full_like(pos_x, -1e30)
+            cps = [jnp.zeros_like(pos_x) for _ in range(12)]
+            for c in range(N_CURVES):
+                chx = pkg[CT_CHX + c, :][None, :]
+                chz = pkg[CT_CHZ + c, :][None, :]
+                vld = pkg[CT_VALID + c, :][None, :]
+                dot = chx * dir_x + chz * dir_z
+                dot = jnp.where(vld > 0.5, dot, -1e30)
+                better = dot > best_dot
+                best_dot = jnp.where(better, dot, best_dot)
+                for k in range(12):
+                    val = pkg[CT_CPS + c * 12 + k, :][None, :]
+                    cps[k] = jnp.where(better, val, cps[k])
+            # cps rows: [x0,z0, x1,z1, x2,z2, x3,z3, ...] -> use layout
+            # k: 0..11 = (x,y?,z) triplets? We pack only x/z (y=0):
+            # k = c*? see fused_env packing: [x0,z0,x1,z1,x2,z2,x3,z3] + pad
+            x0, z0, x1, z1, x2, z2, x3, z3 = cps[:8]
 
-        def bz_point(t):
-            u = 1.0 - t
-            w0 = u * u * u
-            w1 = 3.0 * t * u * u
-            w2 = 3.0 * t * t * u
-            w3 = t * t * t
-            return (w0 * x0 + w1 * x1 + w2 * x2 + w3 * x3,
-                    w0 * z0 + w1 * z1 + w2 * z2 + w3 * z3)
+            def bz_point(t):
+                u = 1.0 - t
+                w0 = u * u * u
+                w1 = 3.0 * t * u * u
+                w2 = 3.0 * t * t * u
+                w3 = t * t * t
+                return (w0 * x0 + w1 * x1 + w2 * x2 + w3 * x3,
+                        w0 * z0 + w1 * z1 + w2 * z2 + w3 * z3)
 
-        t_bot = jnp.zeros_like(pos_x)
-        t_top = jnp.ones_like(pos_x)
-        for _ in range(C.BEZIER_CLOSEST_ITERS):
-            mid = 0.5 * (t_bot + t_top)
-            bx, bz_ = bz_point(t_bot)
-            tx, tz = bz_point(t_top)
-            db = (bx - pos_x) ** 2 + (bz_ - pos_z) ** 2
-            dtp = (tx - pos_x) ** 2 + (tz - pos_z) ** 2
-            keep_bot = db < dtp
-            t_bot, t_top = (
-                jnp.where(keep_bot, t_bot, mid),
-                jnp.where(keep_bot, mid, t_top),
-            )
-        t_star = 0.5 * (t_bot + t_top)
-        px_c, pz_c = bz_point(t_star)
-        u = 1.0 - t_star
-        tanx = (3 * u * u * (x1 - x0) + 6 * u * t_star * (x2 - x1)
-                + 3 * t_star * t_star * (x3 - x2))
-        tanz = (3 * u * u * (z1 - z0) + 6 * u * t_star * (z2 - z1)
-                + 3 * t_star * t_star * (z3 - z2))
-        tinv = jax.lax.rsqrt(jnp.maximum(tanx * tanx + tanz * tanz, 1e-24))
-        tanx = tanx * tinv
-        tanz = tanz * tinv
+            t_bot = jnp.zeros_like(pos_x)
+            t_top = jnp.ones_like(pos_x)
+            for _ in range(C.BEZIER_CLOSEST_ITERS):
+                mid = 0.5 * (t_bot + t_top)
+                bx, bz_ = bz_point(t_bot)
+                tx, tz = bz_point(t_top)
+                db = (bx - pos_x) ** 2 + (bz_ - pos_z) ** 2
+                dtp = (tx - pos_x) ** 2 + (tz - pos_z) ** 2
+                keep_bot = db < dtp
+                t_bot, t_top = (
+                    jnp.where(keep_bot, t_bot, mid),
+                    jnp.where(keep_bot, mid, t_top),
+                )
+            t_star = 0.5 * (t_bot + t_top)
+            px_c, pz_c = bz_point(t_star)
+            u = 1.0 - t_star
+            tanx = (3 * u * u * (x1 - x0) + 6 * u * t_star * (x2 - x1)
+                    + 3 * t_star * t_star * (x3 - x2))
+            tanz = (3 * u * u * (z1 - z0) + 6 * u * t_star * (z2 - z1)
+                    + 3 * t_star * t_star * (z3 - z2))
+            tinv = jax.lax.rsqrt(jnp.maximum(tanx * tanx + tanz * tanz, 1e-24))
+            tanx = tanx * tinv
+            tanz = tanz * tinv
 
-        dot_dir = jnp.clip(dir_x * tanx + dir_z * tanz, -1.0, 1.0)
-        # right-of-curve = cross(tangent, up): (tz*1? ) for t=(tx,0,tz):
-        # cross((tx,0,tz),(0,1,0)) = (-tz, 0, tx)
-        rox = -tanz
-        roz = tanx
-        signed_dist = (pos_x - px_c) * rox + (pos_z - pz_c) * roz
-        # acos via atan2-free approx? use jnp.arccos (lowered on VPU)
-        ang_rad = jnp.arccos(dot_dir)
-        ang_rad = jnp.where(dir_x * rox + dir_z * roz < 0.0, -ang_rad,
-                            ang_rad)
-        in_lane = d_c
+            dot_dir = jnp.clip(dir_x * tanx + dir_z * tanz, -1.0, 1.0)
+            # right-of-curve = cross(tangent, up): (tz*1? ) for t=(tx,0,tz):
+            # cross((tx,0,tz),(0,1,0)) = (-tz, 0, tx)
+            rox = -tanz
+            roz = tanx
+            signed_dist = (pos_x - px_c) * rox + (pos_z - pz_c) * roz
+            ang_rad = _acos(dot_dir)
+            ang_rad = jnp.where(dir_x * rox + dir_z * roz < 0.0, -ang_rad,
+                                ang_rad)
+            in_lane = d_c
 
         # ---- reward / done (simulator.py step + compute_reward) -------
         reward_full = (
@@ -339,7 +369,7 @@ def make_state_kernel(cfg, Hg, Wg, n_words, M, n_spawn_ok):
             )
             sidx = h % max(n_spawn_ok, 1)
             ohb = (
-                jax.lax.broadcasted_iota(jnp.int32, (BANK_K, BB), 0)
+                jax.lax.broadcasted_iota(jnp.int32, (BANK_K, bb), 0)
                 == sidx
             ).astype(f32)
             sp = jax.lax.dot_general(
@@ -358,7 +388,7 @@ def make_state_kernel(cfg, Hg, Wg, n_words, M, n_spawn_ok):
         rng_ctr = rng_ctr + 1.0
 
         # ---- write back ----------------------------------------------
-        z = jnp.zeros((1, BB), f32)
+        z = jnp.zeros((1, bb), f32)
         rows = [
             pos_x, pos_y, pos_z, angle, speed, vl, vr, step_cnt, rng_ctr,
             robot_speed, wheel_dist, act0, act1,
@@ -468,14 +498,17 @@ def state_step_pallas(cfg, maps, blob, actions, tables=None,
     if tables is None:
         tables = build_tables(cfg, maps)
     B = blob.shape[1]
-    assert B % BB == 0, B
+    bb = BB
+    while B % bb != 0 or bb > B:
+        bb //= 2
+    assert bb >= 8, (B, bb)
 
     blob = blob.at[F_ACT0, :].set(actions[:, 0])
     blob = blob.at[F_ACT1, :].set(actions[:, 1])
 
     kern = make_state_kernel(
         cfg, tables["Hg"], tables["Wg"], tables["n_words"], tables["M"],
-        tables["n_ok"],
+        tables["n_ok"], bb=bb,
     )
     ct = jnp.asarray(tables["ct"])
     words = jnp.asarray(tables["words"])
@@ -483,13 +516,13 @@ def state_step_pallas(cfg, maps, blob, actions, tables=None,
     bank = jnp.asarray(tables["bank"])
     tsv = jnp.full((1, 1), tables["ts_inv"], jnp.float32)
 
-    grid = (B // BB,)
+    grid = (B // bb,)
     out = pl.pallas_call(
         kern,
         out_shape=jax.ShapeDtypeStruct((NF, B), jnp.float32),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((NF, BB), lambda b: (0, b),
+            pl.BlockSpec((NF, bb), lambda b: (0, b),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(words.shape, lambda b: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -502,7 +535,7 @@ def state_step_pallas(cfg, maps, blob, actions, tables=None,
             pl.BlockSpec((1, 1), lambda b: (0, 0),
                          memory_space=pltpu.SMEM),
         ],
-        out_specs=pl.BlockSpec((NF, BB), lambda b: (0, b),
+        out_specs=pl.BlockSpec((NF, bb), lambda b: (0, b),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
     )(blob, words, ct, ot, bank, tsv)

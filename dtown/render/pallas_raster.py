@@ -313,7 +313,9 @@ def _make_kernel(H, W, Hg, Wg, n_words, Kvis, sublanes):
 
                 is_box = ptype > 0.5
                 t_m = jnp.where(is_box, t_box, t_sph)
-                hit = jnp.where(is_box, box_hit, sph_hit)
+                # NOTE: select on i1 vectors doesn't legalize in Mosaic;
+                # use boolean algebra instead of jnp.where
+                hit = (is_box & box_hit) | (~is_box & sph_hit)
                 t_w = t_m * scale
                 closer = hit & (t_w < t_best) & (o_act > 0.5)
 
@@ -331,9 +333,10 @@ def _make_kernel(H, W, Hg, Wg, n_words, Kvis, sublanes):
                 az_ = jnp.abs(hz) / jnp.maximum(p2, 1e-9)
                 xb = (ax_ >= ay_) & (ax_ >= az_)
                 yb = (~xb) & (ay_ >= az_)
-                bx = jnp.where(xb, jnp.sign(hx), 0.0)
-                by = jnp.where(yb, jnp.sign(hy), 0.0)
-                bz = jnp.where(xb | yb, 0.0, jnp.sign(hz))
+                sgn = lambda q: jnp.where(q >= 0.0, 1.0, -1.0)
+                bx = jnp.where(xb, sgn(hx), 0.0)
+                by = jnp.where(yb, sgn(hy), 0.0)
+                bz = jnp.where(xb | yb, 0.0, sgn(hz))
                 nmx = jnp.where(is_box, bx, sx)
                 nmy = jnp.where(is_box, by, sy)
                 nmz = jnp.where(is_box, bz, sz)
