@@ -35,7 +35,7 @@ def main():
     ap.add_argument("--map", default="udem1")
     ap.add_argument("--envs", type=int, default=4096)
     ap.add_argument("--size", type=int, default=64)
-    ap.add_argument("--iters", type=int, default=50)
+    ap.add_argument("--iters", type=int, default=256)
     ap.add_argument("--obs", default="rgb", choices=["rgb", "state"])
     ap.add_argument("--domain-rand", action="store_true")
     ap.add_argument("--no-autoreset", action="store_true")
@@ -43,9 +43,11 @@ def main():
     ap.add_argument("--cpu", action="store_true",
                     help="force local CPU backend (handled at import)")
     ap.add_argument("--renderer", default="pallas", choices=["xla", "pallas"])
-    ap.add_argument("--fused", action="store_true",
+    ap.add_argument("--fused", action=argparse.BooleanOptionalAction,
+                    default=True,
                     help="blob-carried rollout: fused Pallas state kernel "
-                         "+ fused render kernel per step")
+                         "+ fused render kernel per step (--no-fused for "
+                         "the XLA step path)")
     ap.add_argument("--unroll", type=int, default=4,
                     help="scan unroll factor (amortizes per-iteration "
                          "while-loop overhead)")
@@ -102,9 +104,11 @@ def main():
         print(f"reset compile+run: {time.time()-t0:.1f}s", file=sys.stderr)
         actions = jnp.tile(jnp.array([0.4, 0.1], jnp.float32),
                            (args.envs, 1))
+        # warm up the SAME executable (same static n_iters); the timed
+        # call then runs with fresh data (donated buffers, new values)
         t0 = time.time()
         blob, r, o = jax.block_until_ready(
-            f_rollout(blob, states, actions, 2)
+            f_rollout(blob, states, actions, args.iters)
         )
         print(f"step compile+warmup: {time.time()-t0:.1f}s", file=sys.stderr)
         t0 = time.time()
@@ -133,7 +137,7 @@ def main():
     actions = jnp.tile(jnp.array([0.4, 0.1], jnp.float32), (args.envs, 1))
 
     t0 = time.time()
-    states, _ = jax.block_until_ready(rollout(states, actions, 2))
+    states, _ = jax.block_until_ready(rollout(states, actions, args.iters))
     print(f"step compile+warmup: {time.time()-t0:.1f}s", file=sys.stderr)
 
     t0 = time.time()

@@ -413,6 +413,9 @@ def prepare_object_blocks(cfg, maps, state, eye):
     Kvis = min(cfg.max_visible_objects, maps.max_objects)
     active = active_objects(maps, state)
     dist = jnp.linalg.norm(state.dyn.pos - eye[None, :], axis=-1)
+    # distance culling: objects beyond obj_cull_dist are sub-pixel at the
+    # RL resolutions; keeps the act flags meaningful for the kernel
+    active = active & (dist < cfg.obj_cull_dist)
     score = jnp.where(active, -dist, -jnp.inf)
     _, top = jax.lax.top_k(score, Kvis)
 

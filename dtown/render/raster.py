@@ -201,6 +201,7 @@ def _render_objects(cfg, maps, state, rays, eye, rgb, t_bg):
 
     active = active_objects(maps, state)
     dist = jnp.linalg.norm(state.dyn.pos - eye[None, :], axis=-1)
+    active = active & (dist < cfg.obj_cull_dist)  # sub-pixel beyond this
     score = jnp.where(active, -dist, -jnp.inf)
     _, top_idx = jax.lax.top_k(score, Kvis)
 

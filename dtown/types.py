@@ -101,6 +101,7 @@ class EnvConfig:
     grayscale: bool = False
     render_objects: bool = True
     max_visible_objects: int = 8  # nearest-K object culling in the renderer
+    obj_cull_dist: float = 4.0  # m; objects farther than this are sub-pixel
     renderer: str = "xla"  # "xla" (vmapped, reference) | "pallas" (fused kernel)
     distortion: bool = False
 
