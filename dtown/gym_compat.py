@@ -98,6 +98,52 @@ class DuckietownEnv:
         pass
 
 
+class DuckietownLF(DuckietownEnv):
+    """Lane-following task: the base env's reward already encodes lane
+    following (reference: envs/duckietown_env.py::DuckietownLF)."""
+
+
+class DuckietownNav(DuckietownEnv):
+    """Navigation task: reach a randomly drawn drivable goal tile.
+
+    reference: envs/duckietown_env.py::DuckietownNav — on reset a goal
+    tile is chosen; reaching it ends the episode with a bonus reward.
+    """
+
+    GOAL_REWARD = 500.0
+
+    def __init__(self, *args, **kwargs):
+        super().__init__(*args, **kwargs)
+        import numpy as np
+
+        self._drivable = np.argwhere(np.asarray(self.maps.drivable))
+        self._goal = None
+        self._np_random = np.random.default_rng(0)
+
+    def seed(self, seed: int = 0):
+        import numpy as np
+
+        self._np_random = np.random.default_rng(seed)
+        return super().seed(seed)
+
+    def reset(self):
+        obs = super().reset()
+        j, i = self._drivable[
+            self._np_random.integers(0, len(self._drivable))
+        ]
+        self._goal = (int(i), int(j))
+        return obs
+
+    def step(self, action):
+        obs, reward, done, info = super().step(action)
+        info["goal_tile"] = self._goal
+        if not done and tuple(info["Simulator"]["tile_coords"]) == self._goal:
+            reward += self.GOAL_REWARD
+            done = True
+            info["Simulator"]["msg"] = "goal-reached"
+        return obs, reward, done, info
+
+
 class MultiMapEnv:
     """Cycles to the next map on every reset.
 

@@ -40,15 +40,32 @@ class TrainState(NamedTuple):
     key: jax.Array
 
 
-def make_ppo(cfg, maps, num_envs: int, ppo: PPOConfig = PPOConfig()):
-    """Build (init_fn, train_step_fn) closures over static config."""
+def make_ppo(cfg, maps, num_envs: int, ppo: PPOConfig = PPOConfig(),
+             fused: bool = False):
+    """Build (init_fn, train_step_fn) closures over static config.
+
+    fused=True: rollouts carry the transposed state blob and advance via
+    the fused Pallas state kernel + render kernel (ops/fused_env) — the
+    full training loop then runs at kernel speed. Restricted to the
+    state-kernel fast path (domain_rand off, static NPC poses).
+    """
     net = ActorCritic()
     tx = optax.chain(
         optax.clip_by_global_norm(ppo.max_grad_norm),
         optax.adam(ppo.lr),
     )
+    if fused:
+        return _make_ppo_fused(cfg, maps, num_envs, ppo, net, tx)
 
     def obs_of(states):
+        if cfg.obs_type == "rgb" and cfg.renderer == "pallas":
+            from dtown.render.pallas_raster import (
+                planes_to_nhwc, render_frames_pallas,
+            )
+
+            return planes_to_nhwc(
+                cfg, render_frames_pallas(cfg, maps, states)
+            )
         return jax.vmap(lambda s: env_core.render_obs(cfg, maps, s))(states)
 
     def init(key, env_key=None):
@@ -88,8 +105,8 @@ def make_ppo(cfg, maps, num_envs: int, ppo: PPOConfig = PPOConfig()):
             obs = obs_of(env_states)
             action, logp, value = policy_sample(ts.params, obs, k_act)
             act_clip = jnp.tanh(action)
-            env_states, out = jax.vmap(
-                lambda s, a: env_core.step(cfg, maps, s, a)
+            env_states, out, _ = jax.vmap(
+                lambda s, a: env_core.step_physics(cfg, maps, s, a)
             )(env_states, act_clip)
             data = dict(
                 obs=obs, action=action, logp=logp, value=value,
@@ -195,5 +212,152 @@ def make_ppo(cfg, maps, num_envs: int, ppo: PPOConfig = PPOConfig()):
             done_frac=traj["done"].mean(),
         )
         return ts, metrics
+
+    return init, train_step
+
+
+def _make_ppo_fused(cfg, maps, num_envs, ppo, net, tx):
+    """Fused-kernel PPO: TrainState.env_states is the state blob."""
+    import numpy as _np
+
+    from dtown.ops import state_kernel as sk
+    from dtown.ops.fused_env import make_fused_rollout, pack_blob
+    from dtown.render.pallas_raster import planes_to_nhwc
+
+    init_blob, fused_step, _ = make_fused_rollout(cfg, maps, num_envs)
+
+    # concrete states template (host constant) for the render kernel's
+    # reset-time fields (lighting, camera; domain_rand off fast path)
+    _template = {}
+
+    def obs_from(blob, obs_raw):
+        if cfg.obs_type == "rgb":
+            return planes_to_nhwc(cfg, obs_raw)
+        return obs_raw
+
+    def init(key, env_key=None):
+        blob, states = init_blob(env_key if env_key is not None else key)
+        _template["states"] = jax.device_get(states)
+        k_net, k_carry = jax.random.split(jax.random.fold_in(key, 7))
+        blob2, out, obs_raw = fused_step(
+            blob, states, jnp.zeros((num_envs, 2), jnp.float32)
+        )
+        sample_obs = obs_from(blob2, obs_raw)
+        params = net.init(k_net, sample_obs[:2])
+        return TrainState(params, tx.init(params), blob, k_carry)
+
+    def template_states():
+        t = _template["states"]
+        return jax.tree_util.tree_map(jnp.asarray, t)
+
+    def policy_sample(params, obs, key):
+        mean, log_std, value = net.apply(params, obs)
+        std = jnp.exp(log_std)
+        noise = jax.random.normal(key, mean.shape, dtype=mean.dtype)
+        action = mean + std * noise
+        logp = -0.5 * jnp.sum(
+            ((action - mean) / std) ** 2 + 2.0 * log_std
+            + jnp.log(2.0 * jnp.pi), axis=-1,
+        )
+        return action, logp, value
+
+    def train_step(ts: TrainState, axis_name=None):
+        tmpl = template_states()
+
+        def step_fn(carry, _):
+            blob, key, obs = carry
+            key, k_act = jax.random.split(key)
+            action, logp, value = policy_sample(ts.params, obs, k_act)
+            blob, out, obs_raw = fused_step(
+                blob, tmpl, jnp.tanh(action)
+            )
+            next_obs = obs_from(blob, obs_raw)
+            data = dict(obs=obs, action=action, logp=logp, value=value,
+                        reward=out.reward, done=out.done)
+            return (blob, key, next_obs), data
+
+        # initial obs for the first step
+        blob0, out0, obs_raw0 = fused_step(
+            ts.env_states, tmpl, jnp.zeros((num_envs, 2), jnp.float32)
+        )
+        obs0 = obs_from(blob0, obs_raw0)
+        (blob, key, last_obs), traj = jax.lax.scan(
+            step_fn, (blob0, ts.key, obs0), None, length=ppo.rollout_len
+        )
+        _, _, last_value = net.apply(ts.params, last_obs)
+
+        # GAE
+        def body(carry, t):
+            gae, next_value = carry
+            delta = (t["reward"] + ppo.gamma * next_value * (1 - t["done"])
+                     - t["value"])
+            gae = delta + ppo.gamma * ppo.gae_lambda * (1 - t["done"]) * gae
+            return (gae, t["value"]), gae
+
+        (_, _), advantages = jax.lax.scan(
+            body, (jnp.zeros_like(last_value), last_value), traj,
+            reverse=True,
+        )
+        returns = advantages + traj["value"]
+
+        # clipped-surrogate update (shared math with the XLA path)
+        T_, B_ = traj["reward"].shape
+        flat = {
+            "obs": traj["obs"].reshape((T_ * B_,) + traj["obs"].shape[2:]),
+            "action": traj["action"].reshape(T_ * B_, -1),
+            "logp": traj["logp"].reshape(T_ * B_),
+            "adv": advantages.reshape(T_ * B_),
+            "ret": returns.reshape(T_ * B_),
+        }
+        mb = (T_ * B_) // ppo.minibatches
+
+        def loss_fn(params, batch):
+            mean, log_std, value = net.apply(params, batch["obs"])
+            std = jnp.exp(log_std)
+            logp = -0.5 * jnp.sum(
+                ((batch["action"] - mean) / std) ** 2 + 2.0 * log_std
+                + jnp.log(2.0 * jnp.pi), axis=-1,
+            )
+            ratio = jnp.exp(logp - batch["logp"])
+            adv = batch["adv"]
+            adv = (adv - adv.mean()) / (adv.std() + 1e-8)
+            pg = -jnp.minimum(
+                ratio * adv,
+                jnp.clip(ratio, 1 - ppo.clip_eps, 1 + ppo.clip_eps) * adv,
+            ).mean()
+            v_loss = 0.5 * ((value - batch["ret"]) ** 2).mean()
+            ent = jnp.sum(log_std + 0.5 * jnp.log(2 * jnp.pi * jnp.e))
+            return pg + ppo.vf_coef * v_loss - ppo.ent_coef * ent
+
+        def epoch(carry, _):
+            params, opt_state, key = carry
+            key, kp = jax.random.split(key)
+            perm = jax.random.permutation(kp, T_ * B_)
+
+            def minibatch(carry, m):
+                params, opt_state = carry
+                idx = jax.lax.dynamic_slice_in_dim(perm, m * mb, mb)
+                batch = {k: v[idx] for k, v in flat.items()}
+                loss, grads = jax.value_and_grad(loss_fn)(params, batch)
+                if axis_name is not None:
+                    grads = jax.lax.pmean(grads, axis_name)
+                updates, opt_state = tx.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+                return (params, opt_state), loss
+
+            (params, opt_state), losses = jax.lax.scan(
+                minibatch, (params, opt_state), jnp.arange(ppo.minibatches)
+            )
+            return (params, opt_state, key), losses.mean()
+
+        (params, opt_state, key), losses = jax.lax.scan(
+            epoch, (ts.params, ts.opt_state, key), None, length=ppo.epochs
+        )
+        metrics = dict(
+            loss=losses.mean(),
+            mean_reward=traj["reward"].mean(),
+            done_frac=traj["done"].mean(),
+        )
+        return TrainState(params, opt_state, blob, key), metrics
 
     return init, train_step

@@ -63,9 +63,18 @@ def _select_word(words_ref, widx, n_words):
     return word
 
 
-def _shade_pixels(kind, angle_idx, variant, u, v):
-    """Kernel-safe port of shading.shade_tile (no arctan2, no tables)."""
+def _shade_pixels(kind, angle_idx, variant, u, v, present=None):
+    """Kernel-safe port of shading.shade_tile (no arctan2, no tables).
+
+    present: optional set of tile-kind ids present in the map — marking
+    math for absent kinds is statically dropped (the map is a compile-time
+    constant of the kernel).
+    """
     f32 = jnp.float32
+    if present is None:
+        present = set(range(16))
+    have = lambda k_: k_ in present
+    FALSE = jnp.zeros_like(u) > 1.0
     # rotate uv to base orientation: angle in {0,1,2,3}
     c = jnp.where(angle_idx == 0, 1.0, jnp.where(angle_idx == 2, -1.0, 0.0))
     s = jnp.where(angle_idx == 1, 1.0, jnp.where(angle_idx == 3, -1.0, 0.0))
@@ -82,8 +91,11 @@ def _shade_pixels(kind, angle_idx, variant, u, v):
     def dashed(p):
         return (p / DASH_PERIOD) % 1.0 < DASH_DUTY
 
-    straight_center = line(bu - 0.5) & dashed(bv)
-    straight_edge = line(bu - EDGE_INSET) | line(bu - (1 - EDGE_INSET))
+    if have(T.TILE_STRAIGHT):
+        straight_center = line(bu - 0.5) & dashed(bv)
+        straight_edge = line(bu - EDGE_INSET) | line(bu - (1 - EDGE_INSET))
+    else:
+        straight_center = straight_edge = FALSE
 
     def arc(cu, cv):
         dx = bu - cu
@@ -96,46 +108,50 @@ def _shade_pixels(kind, angle_idx, variant, u, v):
         edge = line(r - EDGE_INSET) | line(r - (1 - EDGE_INSET))
         return center, edge
 
-    cl_center, cl_edge = arc(1.0, 0.0)
-    cr_center, cr_edge = arc(0.0, 0.0)
-
-    zm_m = line(bu - 0.5) & (bv < 0.5)
-    zp_m = line(bu - 0.5) & (bv >= 0.5)
-    xm_m = line(bv - 0.5) & (bu < 0.5)
-    xp_m = line(bv - 0.5) & (bu >= 0.5)
-    zm_s = (jnp.abs(bv - 0.08) < 0.02) & (bu > 0.5) & (bu < 0.8)
-    zp_s = (jnp.abs(bv - 0.92) < 0.02) & (bu > 0.2) & (bu < 0.5)
-    xm_s = (jnp.abs(bu - 0.08) < 0.02) & (bv > 0.2) & (bv < 0.5)
-    xp_s = (jnp.abs(bu - 0.92) < 0.02) & (bv > 0.5) & (bv < 0.8)
-    dash_uv = dashed(bu + bv)
+    cl_center, cl_edge = arc(1.0, 0.0) if have(T.TILE_CURVE_LEFT) else (FALSE, FALSE)
+    cr_center, cr_edge = arc(0.0, 0.0) if have(T.TILE_CURVE_RIGHT) else (FALSE, FALSE)
 
     k = kind
     K = T
-    k3l_center = (zm_m | zp_m | xp_m) & dash_uv
-    k3r_center = (zm_m | zp_m | xm_m) & dash_uv
-    k4_center = (zm_m | zp_m | xm_m | xp_m) & dash_uv
-    k3l_stop = zm_s | zp_s | xp_s
-    k3r_stop = zm_s | zp_s | xm_s
-    k4_stop = zm_s | zp_s | xm_s | xp_s
+    any_x = have(K.TILE_3WAY_LEFT) or have(K.TILE_3WAY_RIGHT) or have(K.TILE_4WAY)
+    if any_x:
+        zm_m = line(bu - 0.5) & (bv < 0.5)
+        zp_m = line(bu - 0.5) & (bv >= 0.5)
+        xm_m = line(bv - 0.5) & (bu < 0.5)
+        xp_m = line(bv - 0.5) & (bu >= 0.5)
+        zm_s = (jnp.abs(bv - 0.08) < 0.02) & (bu > 0.5) & (bu < 0.8)
+        zp_s = (jnp.abs(bv - 0.92) < 0.02) & (bu > 0.2) & (bu < 0.5)
+        xm_s = (jnp.abs(bu - 0.08) < 0.02) & (bv > 0.2) & (bv < 0.5)
+        xp_s = (jnp.abs(bu - 0.92) < 0.02) & (bv > 0.5) & (bv < 0.8)
+        dash_uv = dashed(bu + bv)
+    k3l_center = (zm_m | zp_m | xp_m) & dash_uv if have(K.TILE_3WAY_LEFT) else FALSE
+    k3r_center = (zm_m | zp_m | xm_m) & dash_uv if have(K.TILE_3WAY_RIGHT) else FALSE
+    k4_center = (zm_m | zp_m | xm_m | xp_m) & dash_uv if have(K.TILE_4WAY) else FALSE
+    k3l_stop = (zm_s | zp_s | xp_s) if have(K.TILE_3WAY_LEFT) else FALSE
+    k3r_stop = (zm_s | zp_s | xm_s) if have(K.TILE_3WAY_RIGHT) else FALSE
+    k4_stop = (zm_s | zp_s | xm_s | xp_s) if have(K.TILE_4WAY) else FALSE
 
     is_road = (k >= K.TILE_STRAIGHT) & (k <= K.TILE_ASPHALT)
 
-    yellow = (
-        ((k == K.TILE_STRAIGHT) & straight_center)
-        | ((k == K.TILE_CURVE_LEFT) & cl_center)
-        | ((k == K.TILE_CURVE_RIGHT) & cr_center)
-        | ((k == K.TILE_3WAY_LEFT) & k3l_center)
-        | ((k == K.TILE_3WAY_RIGHT) & k3r_center)
-        | ((k == K.TILE_4WAY) & k4_center)
-    )
-    white = (
-        ((k == K.TILE_STRAIGHT) & straight_edge)
-        | ((k == K.TILE_CURVE_LEFT) & cl_edge)
-        | ((k == K.TILE_CURVE_RIGHT) & cr_edge)
-        | ((k == K.TILE_3WAY_LEFT) & k3l_stop)
-        | ((k == K.TILE_3WAY_RIGHT) & k3r_stop)
-        | ((k == K.TILE_4WAY) & k4_stop)
-    )
+    def orsum(terms):
+        out = None
+        for cond, mask in terms:
+            if not have(cond):
+                continue
+            t_ = (k == cond) & mask
+            out = t_ if out is None else (out | t_)
+        return out if out is not None else FALSE
+
+    yellow = orsum([
+        (K.TILE_STRAIGHT, straight_center), (K.TILE_CURVE_LEFT, cl_center),
+        (K.TILE_CURVE_RIGHT, cr_center), (K.TILE_3WAY_LEFT, k3l_center),
+        (K.TILE_3WAY_RIGHT, k3r_center), (K.TILE_4WAY, k4_center),
+    ])
+    white = orsum([
+        (K.TILE_STRAIGHT, straight_edge), (K.TILE_CURVE_LEFT, cl_edge),
+        (K.TILE_CURVE_RIGHT, cr_edge), (K.TILE_3WAY_LEFT, k3l_stop),
+        (K.TILE_3WAY_RIGHT, k3r_stop), (K.TILE_4WAY, k4_stop),
+    ])
 
     is_grass = k == K.TILE_GRASS
     is_floor = k == K.TILE_FLOOR
@@ -168,7 +184,7 @@ def _shade_pixels(kind, angle_idx, variant, u, v):
     return r_, g_, b_
 
 
-def _make_kernel(H, W, Hg, Wg, n_words, Kvis, sublanes):
+def _make_kernel(H, W, Hg, Wg, n_words, Kvis, sublanes, present=None):
     """Build the kernel fn for static image/map dims."""
 
     def kernel(cam_ref, words_ref, obj_ref, prim_ref, out_ref):
@@ -229,7 +245,8 @@ def _make_kernel(H, W, Hg, Wg, n_words, Kvis, sublanes):
 
         u = fx - ti
         v = fz - tj
-        r_, g_, b_ = _shade_pixels(kind, angle_idx, variant, u, v)
+        r_, g_, b_ = _shade_pixels(kind, angle_idx, variant, u, v,
+                                   present=present)
 
         # out-of-grid ground -> env ground color; shade by light
         shade = cam[0, 0, C_SHADE]
@@ -531,7 +548,15 @@ def render_frames_pallas(cfg, maps, states, interpret=None):
     obj = pad_row(obj)[:, None, :]
     prim = pad_row(prim)[:, None, :]
 
-    kernel = _make_kernel(H, W, Hg, Wg, n_words, Kvis, S)
+    from dtown.utils.staticcheck import concrete_any as _ca
+
+    try:
+        present = frozenset(
+            int(x) for x in np.unique(np.asarray(maps.tile_kind))
+        )
+    except Exception:  # traced multimap gather: keep all kinds
+        present = None
+    kernel = _make_kernel(H, W, Hg, Wg, n_words, Kvis, S, present=present)
     grid = (B,)
 
     def row_spec(width):

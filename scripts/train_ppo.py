@@ -13,7 +13,11 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import jax
 
@@ -35,11 +39,15 @@ def main():
     ap.add_argument("--domain-rand", action="store_true")
     ap.add_argument("--ckpt", default=None)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--renderer", default="pallas", choices=["xla", "pallas"])
+    ap.add_argument("--fused", action="store_true",
+                    help="single-host blob-carried rollouts through the "
+                         "fused Pallas kernels")
     args = ap.parse_args()
 
     cfg = EnvConfig(
         obs_type="rgb", camera_width=args.size, camera_height=args.size,
-        domain_rand=args.domain_rand,
+        domain_rand=args.domain_rand, renderer=args.renderer,
     )
     maps = (
         map_loader.stack_maps(args.map)
@@ -52,9 +60,17 @@ def main():
     print(f"devices: {mesh.devices.size} x {jax.devices()[0].platform}")
 
     ppo = PPOConfig(rollout_len=args.rollout)
-    mesh, s_init, s_train = make_sharded_ppo(
-        cfg, maps, args.envs, ppo=ppo, mesh=mesh
-    )
+    if args.fused:
+        import functools
+
+        from dtown.learn.ppo import make_ppo
+
+        s_init, train_local = make_ppo(cfg, maps, args.envs, ppo, fused=True)
+        s_train = jax.jit(lambda ts: train_local(ts))
+    else:
+        mesh, s_init, s_train = make_sharded_ppo(
+            cfg, maps, args.envs, ppo=ppo, mesh=mesh
+        )
 
     timer = PhaseTimer()
     with timer.phase("init"):
@@ -73,8 +89,15 @@ def main():
     if args.ckpt:
         from dtown.utils import checkpoint
 
-        checkpoint.save(args.ckpt, {"params": ts.params})
-        print(f"saved params to {args.ckpt}")
+        # full training state: params + optimizer + vectorized env state
+        # pytree + PRNG key (SURVEY.md §5 checkpoint/resume row)
+        checkpoint.save(args.ckpt, {
+            "params": ts.params,
+            "opt_state": ts.opt_state,
+            "env_states": ts.env_states,
+            "key": ts.key,
+        })
+        print(f"saved full train state to {args.ckpt}")
 
 
 if __name__ == "__main__":
