@@ -74,6 +74,12 @@ def make_fused_rollout(cfg: EnvConfig, maps, num_envs: int):
     """
     from dtown import env as env_core
 
+    if cfg.domain_rand:
+        raise NotImplementedError(
+            "the fused kernel path does not re-draw domain randomization "
+            "at auto-reset yet; use the XLA path (renderer='pallas' still "
+            "works there) for domain_rand=True"
+        )
     tables = sk.build_tables(cfg, maps)
 
     def init_blob(key):

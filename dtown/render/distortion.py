@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import functools
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -58,3 +59,35 @@ def apply_distortion(cfg, rgb):
     grid = jnp.asarray(_remap_grid(W, H))
     flat = rgb.reshape(H * W, rgb.shape[-1])
     return flat[grid.reshape(-1)].reshape(H, W, rgb.shape[-1])
+
+
+@functools.lru_cache(maxsize=None)
+def _perm_matrix_bf16(width: int, height: int):
+    """The remap as a [HW, HW] one-hot permutation matrix (bf16).
+
+    Gathers are pathologically slow on the target TPU runtime; a static
+    permutation applied as ONE bf16 matmul runs on the MXU instead —
+    out[p] = sum_q P[p, q] * img[q] with P one-hot rows.
+    """
+    hw = width * height
+    grid = np.asarray(_remap_grid(width, height)).reshape(-1)
+    P = np.zeros((hw, hw), dtype=np.float32)
+    P[np.arange(hw), grid] = 1.0
+    return P  # cached as numpy; cast at use (trace-safe)
+
+
+def apply_distortion_planes(cfg, planes):
+    """Fisheye warp for the fused renderer's uint8 channel planes
+    [B, 3, S, 128] — one bf16 permutation matmul, no gathers."""
+    B = planes.shape[0]
+    H, W = cfg.camera_height, cfg.camera_width
+    hw = H * W
+    P = jnp.asarray(_perm_matrix_bf16(W, H), jnp.bfloat16)
+    flat = planes.reshape(B * 3, hw).astype(jnp.bfloat16)
+    warped = jax.lax.dot_general(
+        flat, P,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    out = jnp.clip(warped + 0.5, 0, 255).astype(jnp.uint8)
+    return out.reshape(planes.shape)

@@ -530,23 +530,40 @@ def render_frames_pallas(cfg, maps, states, interpret=None):
     Kvis = min(cfg.max_visible_objects, maps.max_objects)
     B = states.pos.shape[0]
 
-    def per_env(state):
-        cam, eye = prepare_camera_row(cfg, state)
-        cam = cam.at[C_TSINV].set(1.0 / maps.tile_size)
-        words = pack_tile_words(maps, state.tex_variant)
-        obj, prim = prepare_object_blocks(cfg, maps, state, eye)
-        return cam, words, obj, prim
+    scene = _build_static_scene(cfg, maps) if cfg.render_objects else None
 
-    cam, words, obj, prim = jax.vmap(per_env)(states)
-    # pad feature rows to the 128-lane width
     def pad_row(a):
         pad = -(-a.shape[-1] // LANE_N) * LANE_N - a.shape[-1]
         return jnp.pad(a, ((0, 0), (0, pad)))
 
-    cam = pad_row(cam)[:, None, :]
-    words = words[:, None, :]
-    obj = pad_row(obj)[:, None, :]
-    prim = pad_row(prim)[:, None, :]
+    if scene is not None:
+        def per_env_static(state):
+            cam, eye = prepare_camera_row(cfg, state)
+            cam = cam.at[C_TSINV].set(1.0 / maps.tile_size)
+            words = pack_tile_words(maps, state.tex_variant)
+            if scene:
+                flags = _static_flags(cfg, maps, state, eye, scene)
+            else:
+                flags = jnp.zeros((2,), jnp.float32)
+            return cam, words, flags
+
+        cam, words, flags = jax.vmap(per_env_static)(states)
+        cam = pad_row(cam)[:, None, :]
+        words = words[:, None, :]
+        flags = pad_row(flags)[:, None, :]
+    else:
+        def per_env(state):
+            cam, eye = prepare_camera_row(cfg, state)
+            cam = cam.at[C_TSINV].set(1.0 / maps.tile_size)
+            words = pack_tile_words(maps, state.tex_variant)
+            obj, prim = prepare_object_blocks(cfg, maps, state, eye)
+            return cam, words, obj, prim
+
+        cam, words, obj, prim = jax.vmap(per_env)(states)
+        cam = pad_row(cam)[:, None, :]
+        words = words[:, None, :]
+        obj = pad_row(obj)[:, None, :]
+        prim = pad_row(prim)[:, None, :]
 
     from dtown.utils.staticcheck import concrete_any as _ca
 
@@ -556,7 +573,6 @@ def render_frames_pallas(cfg, maps, states, interpret=None):
         )
     except Exception:  # traced multimap gather: keep all kinds
         present = None
-    kernel = _make_kernel(H, W, Hg, Wg, n_words, Kvis, S, present=present)
     grid = (B,)
 
     def row_spec(width):
@@ -565,20 +581,45 @@ def render_frames_pallas(cfg, maps, states, interpret=None):
         return pl.BlockSpec((1, 1, width), lambda b: (b, 0, 0),
                             memory_space=pltpu.VMEM)
 
-    out = pl.pallas_call(
-        kernel,
-        out_shape=jax.ShapeDtypeStruct((B, 3, S, LANE_N), jnp.uint8),
-        grid=grid,
-        in_specs=[
-            row_spec(cam.shape[2]),
-            row_spec(words.shape[2]),
-            row_spec(obj.shape[2]),
-            row_spec(prim.shape[2]),
-        ],
-        out_specs=pl.BlockSpec((1, 3, S, LANE_N), lambda b: (b, 0, 0, 0),
-                               memory_space=pltpu.VMEM),
-        interpret=interpret,
-    )(cam, words, obj, prim)
+    if scene is not None:
+        kernel = _make_kernel_static(H, W, Hg, Wg, n_words, S, present,
+                                     scene)
+        out = pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((B, 3, S, LANE_N), jnp.uint8),
+            grid=grid,
+            in_specs=[
+                row_spec(cam.shape[2]),
+                row_spec(words.shape[2]),
+                row_spec(flags.shape[2]),
+            ],
+            out_specs=pl.BlockSpec((1, 3, S, LANE_N),
+                                   lambda b: (b, 0, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            interpret=interpret,
+        )(cam, words, flags)
+    else:
+        kernel = _make_kernel(H, W, Hg, Wg, n_words, Kvis, S,
+                              present=present)
+        out = pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((B, 3, S, LANE_N), jnp.uint8),
+            grid=grid,
+            in_specs=[
+                row_spec(cam.shape[2]),
+                row_spec(words.shape[2]),
+                row_spec(obj.shape[2]),
+                row_spec(prim.shape[2]),
+            ],
+            out_specs=pl.BlockSpec((1, 3, S, LANE_N),
+                                   lambda b: (b, 0, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            interpret=interpret,
+        )(cam, words, obj, prim)
+    if cfg.distortion:
+        from dtown.render.distortion import apply_distortion_planes
+
+        out = apply_distortion_planes(cfg, out)
     return out
 
 
@@ -588,3 +629,232 @@ def planes_to_nhwc(cfg, planes):
     B = planes.shape[0]
     flat = planes.reshape(B, 3, H * W)
     return jnp.moveaxis(flat, 1, -1).reshape(B, H, W, 3)
+
+# ---------------------------------------------------------------------
+# Static-scene specialization: for concrete single maps with immobile
+# objects (static poses; traffic lights allowed — only their lamp color
+# is dynamic), ALL object geometry, transforms and colors are baked into
+# the kernel as python constants. Per step only two dynamic scalars per
+# object remain: the distance-cull flag and the lamp phase. Each prim is
+# statically sphere OR box, halving the intersection math.
+# ---------------------------------------------------------------------
+
+def _build_static_scene(cfg, maps):
+    """None if ineligible, else a list of per-object dicts of python
+    floats (pos, rot sincos, scale, prims with type/center/param/color,
+    lamp flag)."""
+    try:
+        obj_mask = np.asarray(maps.obj_mask)
+    except Exception:
+        return None  # traced (multimap) — dynamic path
+    if cfg.domain_rand:
+        return None
+    kinds = np.asarray(maps.obj_kind)
+    dyn = np.asarray(maps.obj_is_dynamic)
+    tl_id = T.OBJ_KIND_IDS["trafficlight"]
+    # moving NPCs -> ineligible (their pos changes per step)
+    moving = obj_mask & dyn & (kinds != tl_id)
+    if moving.any():
+        return None
+    M = int(obj_mask.sum())
+    if M == 0 or M > 16:
+        return None if M else []
+    pos = np.asarray(maps.obj_pos)
+    rot = np.asarray(maps.obj_y_rot)
+    scale = np.asarray(maps.obj_scale)
+    tables = meshlib.prim_tables()
+    scene = []
+    for m in np.nonzero(obj_mask)[0]:
+        k = int(kinds[m])
+        prims = []
+        for p in range(meshlib.P_MAX):
+            if not tables["mask"][k, p]:
+                continue
+            prims.append(dict(
+                is_box=int(tables["type"][k, p]) == meshlib.BOX,
+                center=tuple(float(x) for x in tables["center"][k, p]),
+                param=tuple(float(x) for x in tables["param"][k, p]),
+                color=tuple(float(x) for x in tables["color"][k, p]),
+                lamp=bool(tables["phase"][k, p]),
+            ))
+        import math
+
+        sc = float(scale[m])
+        scene.append(dict(
+            pos=tuple(float(x) for x in pos[m]),
+            s_r=math.sin(-float(rot[m])),
+            c_r=math.cos(-float(rot[m])),
+            inv_s=1.0 / max(sc, 1e-6),
+            scale=sc,
+            prims=prims,
+            slot=int(m),
+        ))
+    return scene
+
+
+def _make_kernel_static(H, W, Hg, Wg, n_words, sublanes, present, scene):
+    """Kernel with the object scene baked in (see _build_static_scene)."""
+
+    def kernel(cam_ref, words_ref, flags_ref, out_ref):
+        f32 = jnp.float32
+        S = sublanes
+        p = (
+            jax.lax.broadcasted_iota(jnp.int32, (S, LANE_N), 0) * LANE_N
+            + jax.lax.broadcasted_iota(jnp.int32, (S, LANE_N), 1)
+        )
+        y = p // W
+        x = p - y * W
+
+        cam = cam_ref
+        eye0 = cam[0, 0, C_EYE]
+        eye1 = cam[0, 0, C_EYE + 1]
+        eye2 = cam[0, 0, C_EYE + 2]
+
+        xn = ((x.astype(f32) + 0.5) / W - 0.5) * 2.0 * cam[0, 0, C_TANX]
+        yn = (0.5 - (y.astype(f32) + 0.5) / H) * 2.0 * cam[0, 0, C_TANY]
+        dx = cam[0, 0, C_FWD] + xn * cam[0, 0, C_RIGHT] + yn * cam[0, 0, C_UP]
+        dy = cam[0, 0, C_FWD + 1] + xn * cam[0, 0, C_RIGHT + 1] \
+            + yn * cam[0, 0, C_UP + 1]
+        dz = cam[0, 0, C_FWD + 2] + xn * cam[0, 0, C_RIGHT + 2] \
+            + yn * cam[0, 0, C_UP + 2]
+        inv_n = jax.lax.rsqrt(dx * dx + dy * dy + dz * dz)
+        dx, dy, dz = dx * inv_n, dy * inv_n, dz * inv_n
+
+        hits_ground = dy < -1e-6
+        t_g = jnp.where(hits_ground, -eye1 / jnp.where(hits_ground, dy, -1.0),
+                        jnp.float32(1e30))
+        px = eye0 + t_g * dx
+        pz = eye2 + t_g * dz
+
+        ts_inv = cam[0, 0, C_TSINV]
+        fx = px * ts_inv
+        fz = pz * ts_inv
+        ti = jnp.floor(fx)
+        tj = jnp.floor(fz)
+        in_grid = (ti >= 0) & (ti < Wg) & (tj >= 0) & (tj < Hg) & hits_ground
+        ii = jnp.clip(ti.astype(jnp.int32), 0, Wg - 1)
+        jj = jnp.clip(tj.astype(jnp.int32), 0, Hg - 1)
+        tid = jj * Wg + ii
+        word = _select_word(words_ref, tid >> 2, n_words)
+        byte = (word >> ((tid & 3) * 8)) & 0xFF
+        kind = byte & 0xF
+        angle_idx = (byte >> 4) & 0x3
+        variant = (byte >> 6) & 0x3
+
+        r_, g_, b_ = _shade_pixels(kind, angle_idx, variant, fx - ti,
+                                   fz - tj, present=present)
+        shade = cam[0, 0, C_SHADE]
+        r_ = jnp.where(in_grid, r_, cam[0, 0, C_GND]) * shade
+        g_ = jnp.where(in_grid, g_, cam[0, 0, C_GND + 1]) * shade
+        b_ = jnp.where(in_grid, b_, cam[0, 0, C_GND + 2]) * shade
+        sky_f = 1.0 - 0.35 * jnp.maximum(0.0, dy)
+        r_ = jnp.where(hits_ground, r_, cam[0, 0, C_HOR] * sky_f)
+        g_ = jnp.where(hits_ground, g_, cam[0, 0, C_HOR + 1] * sky_f)
+        b_ = jnp.where(hits_ground, b_, cam[0, 0, C_HOR + 2] * sky_f)
+
+        lx = cam[0, 0, C_LIGHT]
+        ly = cam[0, 0, C_LIGHT + 1]
+        lz = cam[0, 0, C_LIGHT + 2]
+        amb = cam[0, 0, C_AMB]
+        t_best = jnp.where(hits_ground, t_g, jnp.float32(1e30))
+
+        for i_obj, ob in enumerate(scene):
+            o_act = flags_ref[0, 0, 2 * i_obj]
+            phase = flags_ref[0, 0, 2 * i_obj + 1]
+            ox, oy, oz = ob["pos"]
+            s_r, c_r, inv_s, sc = ob["s_r"], ob["c_r"], ob["inv_s"], ob["scale"]
+            ex = (eye0 - ox) * inv_s
+            ey = (eye1 - oy) * inv_s
+            ez = (eye2 - oz) * inv_s
+            emx = ex * c_r + ez * s_r
+            emz = ez * c_r - ex * s_r
+            dmx = dx * c_r + dz * s_r
+            dmz = dz * c_r - dx * s_r
+
+            for pr_ in ob["prims"]:
+                cx, cy, cz = pr_["center"]
+                p0, p1, p2 = pr_["param"]
+                ocx = emx - cx
+                ocy = ey - cy
+                ocz = emz - cz
+                if pr_["is_box"]:
+                    def slab(oc, dm, he):
+                        inv = 1.0 / jnp.where(
+                            jnp.abs(dm) < 1e-9,
+                            jnp.where(dm >= 0, 1e-9, -1e-9), dm)
+                        t1 = (-he - oc) * inv
+                        t2 = (he - oc) * inv
+                        return jnp.minimum(t1, t2), jnp.maximum(t1, t2)
+
+                    n1, x1 = slab(ocx, dmx, p0)
+                    n2, x2 = slab(ocy, dy, p1)
+                    n3, x3 = slab(ocz, dmz, p2)
+                    tmin = jnp.maximum(jnp.maximum(n1, n2), n3)
+                    tmax = jnp.minimum(jnp.minimum(x1, x2), x3)
+                    t_m = jnp.where(tmin > 1e-4, tmin, tmax)
+                    hit = (tmax >= jnp.maximum(tmin, 1e-4)) & (t_m > 1e-4)
+                else:
+                    bq = ocx * dmx + ocy * dy + ocz * dmz
+                    cq = ocx * ocx + ocy * ocy + ocz * ocz - p0 * p0
+                    disc = bq * bq - cq
+                    t_m = -bq - jnp.sqrt(jnp.maximum(disc, 0.0))
+                    hit = (disc > 0.0) & (t_m > 1e-4)
+
+                t_w = t_m * sc
+                closer = hit & (t_w < t_best) & (o_act > 0.5)
+
+                hx = emx + t_m * dmx - cx
+                hy = ey + t_m * dy - cy
+                hz = emz + t_m * dmz - cz
+                if pr_["is_box"]:
+                    ax_ = jnp.abs(hx) * (1.0 / max(p0, 1e-9))
+                    ay_ = jnp.abs(hy) * (1.0 / max(p1, 1e-9))
+                    az_ = jnp.abs(hz) * (1.0 / max(p2, 1e-9))
+                    xb = (ax_ >= ay_) & (ax_ >= az_)
+                    yb = (~xb) & (ay_ >= az_)
+                    sgn = lambda q: jnp.where(q >= 0.0, 1.0, -1.0)
+                    nmx = jnp.where(xb, sgn(hx), 0.0)
+                    nmy = jnp.where(yb, sgn(hy), 0.0)
+                    nmz = jnp.where(xb | yb, 0.0, sgn(hz))
+                else:
+                    rinv = jax.lax.rsqrt(
+                        jnp.maximum(hx * hx + hy * hy + hz * hz, 1e-12))
+                    nmx, nmy, nmz = hx * rinv, hy * rinv, hz * rinv
+                nwx = nmx * c_r - nmz * s_r
+                nwz = nmz * c_r + nmx * s_r
+                diff = jnp.maximum(0.0, -(nwx * lx + nmy * ly + nwz * lz))
+                sh = amb + (1.0 - amb) * diff
+                if pr_["lamp"]:
+                    # traffic-light lamp: red phase 0, green phase 1
+                    cr_l = jnp.where(phase > 0.5, 0.1, 0.9)
+                    cg_l = jnp.where(phase > 0.5, 0.85, 0.1)
+                    cb_l = jnp.where(phase > 0.5, 0.15, 0.1)
+                    r_ = jnp.where(closer, cr_l * sh, r_)
+                    g_ = jnp.where(closer, cg_l * sh, g_)
+                    b_ = jnp.where(closer, cb_l * sh, b_)
+                else:
+                    pcr, pcg, pcb = pr_["color"]
+                    r_ = jnp.where(closer, pcr * sh, r_)
+                    g_ = jnp.where(closer, pcg * sh, g_)
+                    b_ = jnp.where(closer, pcb * sh, b_)
+                t_best = jnp.where(closer, t_w, t_best)
+
+        def to_u8(xv):
+            return (jnp.clip(xv, 0.0, 1.0) * 255.0 + 0.5).astype(
+                jnp.int32).astype(jnp.uint8)
+
+        out_ref[0, 0] = to_u8(r_)
+        out_ref[0, 1] = to_u8(g_)
+        out_ref[0, 2] = to_u8(b_)
+
+    return kernel
+
+
+def _static_flags(cfg, maps, state, eye, scene):
+    """[2M] per-env dynamic scalars: cull flag + lamp phase per object."""
+    slots = jnp.asarray([ob["slot"] for ob in scene], jnp.int32)
+    pos = maps.obj_pos[slots]
+    dist = jnp.linalg.norm(pos - eye[None, :], axis=-1)
+    act = (dist < cfg.obj_cull_dist).astype(jnp.float32)
+    phase = state.dyn.phase[slots].astype(jnp.float32)
+    return jnp.stack([act, phase], axis=-1).reshape(-1)
