@@ -218,8 +218,6 @@ def make_ppo(cfg, maps, num_envs: int, ppo: PPOConfig = PPOConfig(),
 
 def _make_ppo_fused(cfg, maps, num_envs, ppo, net, tx):
     """Fused-kernel PPO: TrainState.env_states is the state blob."""
-    import numpy as _np
-
     from dtown.ops import state_kernel as sk
     from dtown.ops.fused_env import make_fused_rollout, pack_blob
     from dtown.render.pallas_raster import planes_to_nhwc

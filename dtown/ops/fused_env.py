@@ -11,7 +11,6 @@ import functools
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from dtown import constants as C
 from dtown.ops import state_kernel as sk

@@ -500,15 +500,10 @@ def prepare_camera_row(cfg, state):
     row = row.at[C_SHADE].set(shade)
     row = row.at[C_GND:C_GND + 3].set(state.ground_color)
     row = row.at[C_HOR:C_HOR + 3].set(state.horizon_color)
-    row = row.at[C_TSINV].set(1.0 / jnp.float32(1.0) / jnp.asarray(1.0))
+    # C_TSINV is filled by the caller (needs maps.tile_size)
     row = row.at[C_LIGHT:C_LIGHT + 3].set(state.light_dir)
     row = row.at[C_AMB].set(state.light_ambient)
     return row, eye
-
-
-@functools.partial(jax.jit, static_argnums=(0,))
-def _noop(x):
-    return x
 
 
 def render_frames_pallas(cfg, maps, states, interpret=None):

@@ -43,7 +43,8 @@ def timed_scan(name, fn, init, iters, results):
         c, _ = jax.lax.scan(body, carry, None, length=n)
         return c
 
-    jax.block_until_ready(run(init, 2))
+    # warm up the SAME executable that is timed (see CLAUDE.md traps)
+    jax.block_until_ready(run(init, iters))
     t0 = time.time()
     jax.block_until_ready(run(init, iters))
     dt = time.time() - t0
