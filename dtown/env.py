@@ -353,7 +353,8 @@ def step_batch(cfg: EnvConfig, maps: MapArrays, states: EnvState, actions):
     new_states, outs, _ = jax.vmap(
         lambda s, a: step_physics(cfg, maps, s, a)
     )(states, actions)
-    if cfg.obs_type == "rgb" and cfg.renderer == "pallas":
+    multimap = maps.tile_kind.ndim == 3
+    if cfg.obs_type == "rgb" and cfg.renderer == "pallas" and not multimap:
         from dtown.render.pallas_raster import (
             planes_to_nhwc, render_frames_pallas,
         )

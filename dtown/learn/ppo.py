@@ -58,7 +58,8 @@ def make_ppo(cfg, maps, num_envs: int, ppo: PPOConfig = PPOConfig(),
         return _make_ppo_fused(cfg, maps, num_envs, ppo, net, tx)
 
     def obs_of(states):
-        if cfg.obs_type == "rgb" and cfg.renderer == "pallas":
+        multimap = maps.tile_kind.ndim == 3
+        if cfg.obs_type == "rgb" and cfg.renderer == "pallas" and not multimap:
             from dtown.render.pallas_raster import (
                 planes_to_nhwc, render_frames_pallas,
             )
@@ -75,7 +76,10 @@ def make_ppo(cfg, maps, num_envs: int, ppo: PPOConfig = PPOConfig(),
             k_env = env_key
             k_carry = jax.random.fold_in(env_key, 0x5EED)
         keys = jax.random.split(k_env, num_envs)
-        idx = jnp.zeros((num_envs,), dtype=jnp.int32)
+        if maps.tile_kind.ndim == 3:  # stacked multi-map curriculum
+            idx = jnp.arange(num_envs, dtype=jnp.int32) % maps.tile_kind.shape[0]
+        else:
+            idx = jnp.zeros((num_envs,), dtype=jnp.int32)
         env_states = jax.vmap(lambda k, i: env_core.reset(cfg, maps, k, i))(
             keys, idx
         )

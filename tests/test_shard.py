@@ -98,3 +98,23 @@ def test_graft_entry_single():
     fn, example_args = mod.entry()
     out = jax.jit(fn)(*example_args)
     jax.block_until_ready(out)
+
+
+@pytest.mark.slow
+def test_sharded_ppo_multimap_curriculum():
+    """BASELINE config-5 shape: multi-map curriculum sharded over the
+    mesh feeding the on-device PPO learner."""
+    from dtown.learn.ppo import PPOConfig
+
+    cfg = EnvConfig(obs_type="rgb", camera_width=16, camera_height=16,
+                    max_visible_objects=2)
+    maps = map_loader.stack_maps(["small_loop", "loop_empty"])
+    mesh, s_init, s_train = make_sharded_ppo(
+        cfg, maps, 16, ppo=PPOConfig(rollout_len=2, epochs=1, minibatches=2)
+    )
+    ts = s_init(jax.random.PRNGKey(0))
+    ts, metrics = s_train(ts)
+    assert np.isfinite(float(metrics["loss"]))
+    # envs actually spread over both maps
+    idx = np.asarray(ts.env_states.map_idx)
+    assert set(idx) == {0, 1}
