@@ -32,7 +32,7 @@ REFERENCE_STEPS_PER_S = 500.0  # BASELINE.md engineering estimate
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--map", default="udem1")
+    ap.add_argument("--map", default="loop_obstacles")
     ap.add_argument("--envs", type=int, default=4096)
     ap.add_argument("--size", type=int, default=64)
     ap.add_argument("--iters", type=int, default=256)
