@@ -186,13 +186,15 @@ def get_grid_coords(pos, tile_size):
 def closest_curve_point(maps, pos, angle):
     """Point + tangent of the lane curve best aligned with the heading.
 
-    reference: simulator.py::closest_curve_point — selects, among the
-    tile's baked curves, the one whose chord direction has the largest dot
-    product with the agent heading, then runs bezier_closest on it.
+    reference: simulator.py::closest_curve_point — keeps only the tile's
+    curves whose chord direction agrees with the agent heading (dot > 0,
+    SURVEY.md §3.2), picks the one with the largest dot product, then runs
+    bezier_closest on it.
 
     Returns (point [3], tangent [3], valid bool). valid is False when the
-    tile under pos is not drivable or out of the grid (the reference
-    returns (None, None) there, which get_lane_pos2 turns into NotInLane).
+    tile under pos is not drivable, out of the grid, or no curve agrees
+    with the heading (the reference returns (None, None) there, which
+    get_lane_pos2 turns into NotInLane).
     """
     H, W = maps.grid_shape
     i, j = get_grid_coords(pos, maps.tile_size)
@@ -211,6 +213,9 @@ def closest_curve_point(maps, pos, angle):
     dots = chord @ get_dir_vec(angle)
     dots = jnp.where(cmask, dots, -jnp.inf)
     best = jnp.argmax(dots)
+    # SURVEY §3.2 dot>0 filter: a heading opposing every lane direction
+    # (e.g. driving against traffic at an intersection) is NotInLane.
+    valid = valid & (dots[best] > 0.0)
 
     cps = curves[best]
     t = bezier_closest(cps, pos)

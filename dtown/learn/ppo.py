@@ -221,16 +221,20 @@ def make_ppo(cfg, maps, num_envs: int, ppo: PPOConfig = PPOConfig(),
 
 
 def _make_ppo_fused(cfg, maps, num_envs, ppo, net, tx):
-    """Fused-kernel PPO: TrainState.env_states is the state blob."""
-    from dtown.ops import state_kernel as sk
-    from dtown.ops.fused_env import make_fused_rollout, pack_blob
+    """Fused-kernel PPO: TrainState.env_states is (state blob, last obs).
+
+    The last observation is carried across train iterations so each
+    rollout starts from the obs of the current blob state — no extra env
+    step is taken to produce obs0 (the XLA path renders, never steps, for
+    the initial obs), and restoring a TrainState from checkpoint needs no
+    side-channel state.
+    """
+    from dtown.ops.fused_env import (
+        make_fused_rollout, obs_from_blob, template_states as make_template,
+    )
     from dtown.render.pallas_raster import planes_to_nhwc
 
     init_blob, fused_step, _ = make_fused_rollout(cfg, maps, num_envs)
-
-    # concrete states template (host constant) for the render kernel's
-    # reset-time fields (lighting, camera; domain_rand off fast path)
-    _template = {}
 
     def obs_from(blob, obs_raw):
         if cfg.obs_type == "rgb":
@@ -238,19 +242,12 @@ def _make_ppo_fused(cfg, maps, num_envs, ppo, net, tx):
         return obs_raw
 
     def init(key, env_key=None):
-        blob, states = init_blob(env_key if env_key is not None else key)
-        _template["states"] = jax.device_get(states)
+        blob, _states = init_blob(env_key if env_key is not None else key)
+        tmpl = make_template(cfg, maps, num_envs)
         k_net, k_carry = jax.random.split(jax.random.fold_in(key, 7))
-        blob2, out, obs_raw = fused_step(
-            blob, states, jnp.zeros((num_envs, 2), jnp.float32)
-        )
-        sample_obs = obs_from(blob2, obs_raw)
-        params = net.init(k_net, sample_obs[:2])
-        return TrainState(params, tx.init(params), blob, k_carry)
-
-    def template_states():
-        t = _template["states"]
-        return jax.tree_util.tree_map(jnp.asarray, t)
+        obs0 = obs_from(blob, obs_from_blob(cfg, maps, blob, tmpl))
+        params = net.init(k_net, obs0[:2])
+        return TrainState(params, tx.init(params), (blob, obs0), k_carry)
 
     def policy_sample(params, obs, key):
         mean, log_std, value = net.apply(params, obs)
@@ -264,7 +261,7 @@ def _make_ppo_fused(cfg, maps, num_envs, ppo, net, tx):
         return action, logp, value
 
     def train_step(ts: TrainState, axis_name=None):
-        tmpl = template_states()
+        tmpl = make_template(cfg, maps, num_envs)
 
         def step_fn(carry, _):
             blob, key, obs = carry
@@ -278,11 +275,8 @@ def _make_ppo_fused(cfg, maps, num_envs, ppo, net, tx):
                         reward=out.reward, done=out.done)
             return (blob, key, next_obs), data
 
-        # initial obs for the first step
-        blob0, out0, obs_raw0 = fused_step(
-            ts.env_states, tmpl, jnp.zeros((num_envs, 2), jnp.float32)
-        )
-        obs0 = obs_from(blob0, obs_raw0)
+        # the carried obs describes the current blob state — no extra step
+        blob0, obs0 = ts.env_states
         (blob, key, last_obs), traj = jax.lax.scan(
             step_fn, (blob0, ts.key, obs0), None, length=ppo.rollout_len
         )
@@ -360,6 +354,6 @@ def _make_ppo_fused(cfg, maps, num_envs, ppo, net, tx):
             mean_reward=traj["reward"].mean(),
             done_frac=traj["done"].mean(),
         )
-        return TrainState(params, opt_state, blob, key), metrics
+        return TrainState(params, opt_state, (blob, last_obs), key), metrics
 
     return init, train_step

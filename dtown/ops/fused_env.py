@@ -65,13 +65,84 @@ def update_states_from_blob(states, blob):
     )
 
 
+def template_states(cfg: EnvConfig, maps, num_envs: int):
+    """Deterministic batched EnvState template for the fused path.
+
+    The render kernel reads reset-time fields (camera intrinsics,
+    lighting, texture variants, NPC poses) from an EnvState; on the fused
+    fast path (domain_rand=False) those are all nominal constants, so the
+    template is a pure function of (cfg, maps) — no init()-time side
+    channel needed (pose fields are overwritten from the blob each step).
+    """
+    from dtown import objects as objlib
+    from dtown import randomization
+    from dtown.types import EnvState
+
+    import jax.random as jrandom
+
+    rand = randomization.draw(
+        cfg, jrandom.PRNGKey(0), maps.grid_shape, maps.max_objects
+    )
+    zero = jnp.zeros((), jnp.float32)
+    one_state = EnvState(
+        pos=jnp.zeros((3,), jnp.float32),
+        angle=zero,
+        step_count=jnp.zeros((), jnp.int32),
+        speed=zero,
+        wheel_vels=jnp.zeros((2,), jnp.float32),
+        last_action=jnp.zeros((2,), jnp.float32),
+        rng=jrandom.PRNGKey(0),
+        map_idx=jnp.zeros((), jnp.int32),
+        dyn=objlib.init_dyn_state(maps),
+        **rand,
+    )
+    return jax.tree_util.tree_map(
+        lambda a: jnp.broadcast_to(a, (num_envs,) + a.shape), one_state
+    )
+
+
+def obs_from_blob(cfg: EnvConfig, maps, blob, states_template):
+    """Observation of the CURRENT blob state without stepping.
+
+    Used for the initial observation of a rollout (the XLA path renders,
+    never steps, for obs0) and after checkpoint restore. rgb mode runs the
+    fused render kernel; state mode computes lane features via the XLA
+    geometry (outside the hot loop).
+    """
+    from dtown import env as env_core
+    from dtown.geometry import get_lane_pos2
+
+    states = update_states_from_blob(states_template, blob)
+    if cfg.obs_type == "rgb":
+        from dtown.render.pallas_raster import render_frames_pallas
+
+        return render_frames_pallas(cfg, maps, states)
+    lp = jax.vmap(lambda p, a: get_lane_pos2(maps, p, a))(
+        states.pos, states.angle
+    )
+    inlane = lp.in_lane.astype(jnp.float32)
+    return jnp.stack(
+        [
+            blob[sk.F_POS_X], blob[sk.F_POS_Z],
+            jnp.cos(blob[sk.F_ANGLE]), jnp.sin(blob[sk.F_ANGLE]),
+            blob[sk.F_SPEED],
+            lp.dist * inlane, lp.dot_dir * inlane, lp.angle_rad * inlane,
+            inlane, blob[sk.F_WVL], blob[sk.F_WVR],
+        ],
+        axis=-1,
+    )
+
+
 def make_fused_rollout(cfg: EnvConfig, maps, num_envs: int):
     """(init_blob_fn, rollout_fn): rollout_fn scans n fused steps.
 
     rollout(blob, actions, n) -> (blob, reward_sum, obs_checksum).
     rgb mode renders every step through the fused Pallas kernel.
     """
+    import numpy as np
+
     from dtown import env as env_core
+    from dtown import types as T
 
     if cfg.domain_rand:
         raise NotImplementedError(
@@ -79,7 +150,31 @@ def make_fused_rollout(cfg: EnvConfig, maps, num_envs: int):
             "at auto-reset yet; use the XLA path (renderer='pallas' still "
             "works there) for domain_rand=True"
         )
+    if num_envs % 8 != 0:
+        raise ValueError(
+            f"the fused kernel path requires num_envs divisible by 8 (TPU "
+            f"sublane width); got {num_envs}"
+        )
+    moving = (
+        np.asarray(maps.obj_mask)
+        & np.asarray(maps.obj_is_dynamic)
+        & (np.asarray(maps.obj_kind) != T.OBJ_KIND_IDS["trafficlight"])
+    )
+    if moving.any():
+        raise NotImplementedError(
+            "this map has moving NPCs (walking duckies / scripted "
+            "duckiebots), whose state machines are not folded into the "
+            "fused state kernel yet — the fused path would silently "
+            "simulate them frozen at their initial poses. Use the XLA "
+            "step path (bench.py --no-fused) for NPC maps."
+        )
     tables = sk.build_tables(cfg, maps)
+    if cfg.obs_type == "rgb":
+        from dtown.render.blob_raster import build_render_plan
+
+        render_plan = build_render_plan(cfg, maps)
+    else:
+        render_plan = None
 
     def init_blob(key):
         keys = jax.random.split(key, num_envs)
@@ -93,19 +188,33 @@ def make_fused_rollout(cfg: EnvConfig, maps, num_envs: int):
         blob = sk.state_step_pallas(cfg, maps, blob, actions, tables)
         out = unpack_outputs(blob)
         if cfg.obs_type == "rgb":
+            if render_plan is not None:
+                # zero-glue path: the render kernel reads the state blob
+                # directly (render/blob_raster.py)
+                from dtown.render.blob_raster import render_frames_from_blob
+
+                obs = render_frames_from_blob(cfg, maps, blob, render_plan)
+                return blob, out, obs
             from dtown.render.pallas_raster import render_frames_pallas
 
             states = update_states_from_blob(states_template, blob)
             planes = render_frames_pallas(cfg, maps, states)
             obs = planes
         else:
+            # observation-side lane rows (F_OL*): on done steps these hold
+            # the fresh spawn's lane features, matching the XLA path which
+            # recomputes get_lane_pos2 on the post-reset state (env.py::
+            # render_obs); F_L* keep the dying step's values for info.
+            inlane = blob[sk.F_OINLANE]
             obs = jnp.stack(
                 [
                     blob[sk.F_POS_X], blob[sk.F_POS_Z],
                     jnp.cos(blob[sk.F_ANGLE]), jnp.sin(blob[sk.F_ANGLE]),
-                    blob[sk.F_SPEED], blob[sk.F_LDIST], blob[sk.F_LDOT],
-                    jnp.deg2rad(blob[sk.F_LDEG]),
-                    blob[sk.F_INLANE], blob[sk.F_WVL], blob[sk.F_WVR],
+                    blob[sk.F_SPEED],
+                    blob[sk.F_OLDIST] * inlane,
+                    blob[sk.F_OLDOT] * inlane,
+                    jnp.deg2rad(blob[sk.F_OLDEG]) * inlane,
+                    inlane, blob[sk.F_WVL], blob[sk.F_WVR],
                 ],
                 axis=-1,
             )

@@ -14,8 +14,10 @@ vreg op, and small-table lookups become `table_T @ onehot_T` MXU matmuls
 reshapes. The rollout loop carries the blob; EnvState <-> blob conversion
 happens once per rollout, not per step (dtown/ops/fused_env.py).
 
-Scope: domain_rand=False fast path (the benchmark configs); walking-duckie
-NPCs are folded in, scripted duckiebots stay on the XLA path.
+Scope: domain_rand=False fast path (the benchmark configs). Maps with
+moving NPCs (walking duckies / scripted duckiebots) are guarded in
+ops/fused_env.make_fused_rollout until their state machines are folded
+into this kernel; traffic lights (static pose, phase-only) are supported.
 """
 from __future__ import annotations
 
@@ -38,7 +40,13 @@ F_ACT0, F_ACT1 = 11, 12
 F_REWARD, F_DONE, F_LDIST, F_LDOT, F_LDEG, F_INLANE, F_COLL, F_TIME = (
     13, 14, 15, 16, 17, 18, 19, 20)
 F_ENVID = 21
-NF = 24  # padded to a multiple of 8 sublanes
+# post-auto-reset lane rows: on a done step the OBSERVATION must describe
+# the fresh spawn (XLA path: render_obs recomputes get_lane_pos2 on the
+# post-reset state) while reward/info keep the dying step's values. The
+# spawn bank carries precomputed lane features per entry (build_tables),
+# selected into these rows on done.
+F_OLDIST, F_OLDOT, F_OLDEG, F_OINLANE = 22, 23, 24, 25
+NF = 32  # padded to a multiple of 8 sublanes
 
 BB = 512  # envs per kernel program (tunable; fewer programs = less per-program overhead)
 
@@ -59,8 +67,10 @@ OT_NX = list(range(8, 12))
 OT_PX, OT_PZ, OT_RAD, OT_ACT, OT_DYN = 12, 13, 14, 15, 16
 OT_F = 24
 
-# spawn bank (transposed [8, BANK_K]): x, y, z, angle
+# spawn bank (transposed [8, BANK_K]): x, y, z, angle + precomputed lane
+# features of the spawn pose (for exact post-reset observation rows)
 BK_X, BK_Y, BK_Z, BK_ANG = 0, 1, 2, 3
+BK_LDIST, BK_LDOT, BK_LDEG, BK_INLANE = 4, 5, 6, 7
 BANK_K = 512
 
 
@@ -345,7 +355,8 @@ def make_state_kernel(cfg, Hg, Wg, n_words, M, n_spawn_ok, bb=None):
             ang_rad = _acos(dot_dir)
             ang_rad = jnp.where(dir_x * rox + dir_z * roz < 0.0, -ang_rad,
                                 ang_rad)
-            in_lane = d_c
+            # SURVEY §3.2: NotInLane when no curve agrees with heading
+            in_lane = d_c & (best_dot > 0.0)
 
         # ---- reward / done (simulator.py step + compute_reward) -------
         reward_full = (
@@ -362,6 +373,10 @@ def make_state_kernel(cfg, Hg, Wg, n_words, M, n_spawn_ok, bb=None):
         reward = jnp.where(crashed, C.REWARD_INVALID_POSE, reward_alive)
 
         # ---- auto-reset from the spawn bank ---------------------------
+        lane_deg = ang_rad * (180.0 / np.pi)
+        in_lane_f = in_lane.astype(f32)
+        o_ldist, o_ldot = signed_dist, dot_dir
+        o_ldeg, o_inlane = lane_deg, in_lane_f
         if auto_reset:
             h = _hash_u32(
                 (rng_ctr.astype(jnp.int32) * 1664525) & 0x7FFFFFFF,
@@ -385,6 +400,11 @@ def make_state_kernel(cfg, Hg, Wg, n_words, M, n_spawn_ok, bb=None):
             vl = jnp.where(done, 0.0, vl)
             vr = jnp.where(done, 0.0, vr)
             step_cnt = jnp.where(done, 0.0, step_cnt)
+            # observation-side lane rows: fresh spawn's precomputed values
+            o_ldist = jnp.where(done, sp[BK_LDIST, :][None, :], o_ldist)
+            o_ldot = jnp.where(done, sp[BK_LDOT, :][None, :], o_ldot)
+            o_ldeg = jnp.where(done, sp[BK_LDEG, :][None, :], o_ldeg)
+            o_inlane = jnp.where(done, sp[BK_INLANE, :][None, :], o_inlane)
         rng_ctr = rng_ctr + 1.0
 
         # ---- write back ----------------------------------------------
@@ -393,8 +413,9 @@ def make_state_kernel(cfg, Hg, Wg, n_words, M, n_spawn_ok, bb=None):
             pos_x, pos_y, pos_z, angle, speed, vl, vr, step_cnt, rng_ctr,
             robot_speed, wheel_dist, act0, act1,
             reward, done.astype(f32), signed_dist, dot_dir,
-            ang_rad * (180.0 / np.pi), in_lane.astype(f32),
+            lane_deg, in_lane_f,
             collided.astype(f32), step_cnt * dt, env_id,
+            o_ldist, o_ldot, o_ldeg, o_inlane,
         ]
         while len(rows) < NF:
             rows.append(z)
@@ -477,6 +498,19 @@ def build_tables(cfg, maps):
     bank[BK_Y] = sp[:, 1]
     bank[BK_Z] = sp[:, 2]
     bank[BK_ANG] = sa
+    # precomputed lane features per spawn pose (exact post-reset obs rows)
+    from dtown.spawn_bank import lane_features_np
+
+    ldist, ldot, ldeg, inlane = lane_features_np(
+        float(maps.tile_size), np.asarray(maps.drivable),
+        np.asarray(maps.curves, dtype=np.float64),
+        np.asarray(maps.curve_mask),
+        sp.astype(np.float64), sa.astype(np.float64),
+    )
+    bank[BK_LDIST] = ldist
+    bank[BK_LDOT] = ldot
+    bank[BK_LDEG] = ldeg
+    bank[BK_INLANE] = inlane.astype(np.float32)
     n_ok = int((np.abs(sd) < cfg.accept_start_angle_deg).sum())
     n_ok = max(n_ok, 1)
 
@@ -498,10 +532,14 @@ def state_step_pallas(cfg, maps, blob, actions, tables=None,
     if tables is None:
         tables = build_tables(cfg, maps)
     B = blob.shape[1]
+    if B % 8 != 0:
+        raise ValueError(
+            f"fused state kernel requires num_envs divisible by 8 (the TPU "
+            f"sublane width); got {B}"
+        )
     bb = BB
     while B % bb != 0 or bb > B:
         bb //= 2
-    assert bb >= 8, (B, bb)
 
     blob = blob.at[F_ACT0, :].set(actions[:, 0])
     blob = blob.at[F_ACT1, :].set(actions[:, 1])

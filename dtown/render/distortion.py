@@ -76,12 +76,23 @@ def _perm_matrix_bf16(width: int, height: int):
     return P  # cached as numpy; cast at use (trace-safe)
 
 
+# Above this pixel count the dense [HW, HW] permutation matrix becomes
+# memory-prohibitive ((H*W)^2 * 2 bytes: ~128 MB at 128x128, ~170 GB at
+# the reference 640x480); fall back to the gather-based warp there.
+PERM_MATMUL_MAX_PIXELS = 96 * 96
+
+
 def apply_distortion_planes(cfg, planes):
     """Fisheye warp for the fused renderer's uint8 channel planes
-    [B, 3, S, 128] — one bf16 permutation matmul, no gathers."""
+    [B, 3, S, 128] — one bf16 permutation matmul, no gathers. Large
+    resolutions fall back to the gather path (dense matrix too big)."""
     B = planes.shape[0]
     H, W = cfg.camera_height, cfg.camera_width
     hw = H * W
+    if hw > PERM_MATMUL_MAX_PIXELS:
+        grid = jnp.asarray(_remap_grid(W, H)).reshape(-1)
+        flat = planes.reshape(B * 3, hw)
+        return flat[:, grid].reshape(planes.shape)
     P = jnp.asarray(_perm_matrix_bf16(W, H), jnp.bfloat16)
     flat = planes.reshape(B * 3, hw).astype(jnp.bfloat16)
     warped = jax.lax.dot_general(

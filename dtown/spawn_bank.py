@@ -59,6 +59,46 @@ def _bezier_closest(cps, p, iters=C.BEZIER_CLOSEST_ITERS):
     return 0.5 * (t_bot + t_top)
 
 
+def lane_features_np(tile_size, drivable, curves, curve_mask, pos, angle):
+    """Vectorized numpy get_lane_pos2 for a batch of poses.
+
+    Mirrors geometry.get_lane_pos2 (curve select by max chord dot with the
+    SURVEY §3.2 dot>0 filter, fixed-depth bezier bisection, signed dist).
+    Used to precompute the spawn bank's lane features so the fused state
+    kernel can emit exact post-auto-reset observation rows.
+
+    Returns (signed_dist [N], dot_dir [N], lane_deg [N], in_lane [N]).
+    """
+    H, W = drivable.shape
+    N = len(angle)
+    px, pz = pos[:, 0], pos[:, 2]
+    dir_vec = np.stack([np.cos(angle), np.zeros(N), -np.sin(angle)], -1)
+    ii = np.floor(px / tile_size).astype(int)
+    jj = np.floor(pz / tile_size).astype(int)
+    in_grid = (ii >= 0) & (ii < W) & (jj >= 0) & (jj < H)
+    ii = np.clip(ii, 0, W - 1)
+    jj = np.clip(jj, 0, H - 1)
+    tc = curves[jj, ii]        # [N, Cmax, 4, 3]
+    tm = curve_mask[jj, ii]    # [N, Cmax]
+    chord = tc[:, :, 3] - tc[:, :, 0]
+    chord /= np.maximum(np.linalg.norm(chord, axis=-1, keepdims=True), 1e-12)
+    dots = np.einsum("ncd,nd->nc", chord, dir_vec)
+    dots = np.where(tm, dots, -np.inf)
+    best = np.argmax(dots, axis=-1)
+    best_dot = dots[np.arange(N), best]
+    cps = tc[np.arange(N), best]
+    t = _bezier_closest(cps, pos)
+    point = _bezier_points(cps, t)
+    tangent = _bezier_tangents(cps, t)
+    dot_dir = np.clip(np.sum(dir_vec * tangent, -1), -1, 1)
+    right_of = np.cross(tangent, np.array([0.0, 1.0, 0.0]))
+    signed_dist = np.sum((pos - point) * right_of, axis=-1)
+    ang = np.arccos(dot_dir)
+    ang = np.where(np.sum(dir_vec * right_of, -1) < 0, -ang, ang)
+    in_lane = in_grid & drivable[jj, ii] & (best_dot > 0.0)
+    return signed_dist, dot_dir, np.degrees(ang), in_lane
+
+
 def compute_spawn_bank(tile_size, drivable, curves, curve_mask,
                        obj_corners, obj_norms, obj_pos, obj_safety_rad,
                        obj_mask, seed=0):

@@ -1,0 +1,79 @@
+"""Blob-fed fused render kernel vs the XLA reference renderer.
+
+The blob renderer (render/blob_raster.py) computes camera basis, tile
+lookup, object transforms, culling and traffic-light phase in-kernel from
+the state blob; it must agree with the XLA ray-caster on the same poses.
+Runs in interpret mode on the CPU test backend.
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from dtown import env as env_core, map_loader
+from dtown.ops.fused_env import pack_blob
+from dtown.render.blob_raster import (
+    build_render_plan, render_frames_from_blob,
+)
+from dtown.render.pallas_raster import planes_to_nhwc
+from dtown.types import EnvConfig
+
+
+@pytest.mark.parametrize("map_name", ["loop_obstacles", "small_loop", "4way"])
+def test_blob_render_matches_xla(map_name):
+    cfg = EnvConfig(obs_type="rgb", camera_width=64, camera_height=64,
+                    auto_reset=False)
+    maps = map_loader.load_map(map_name)
+    plan = build_render_plan(cfg, maps)
+    assert plan is not None, "static maps must be blob-render eligible"
+    keys = jax.random.split(jax.random.PRNGKey(1), 8)
+    idx = jnp.zeros((8,), jnp.int32)
+    states = jax.vmap(lambda k, i: env_core.reset(cfg, maps, k, i))(keys, idx)
+    blob = pack_blob(states)
+
+    planes = render_frames_from_blob(cfg, maps, blob, plan, interpret=True)
+    img_b = np.asarray(planes_to_nhwc(cfg, planes)).astype(int)
+    img_x = np.asarray(
+        jax.vmap(lambda s: env_core.render_obs(cfg, maps, s))(states)
+    ).astype(int)
+    diff = np.abs(img_b - img_x)
+    # identical up to the arc-dash phase approximation, the cheapened
+    # (mathematically equivalent) shading formulation and rounding
+    assert diff.mean() < 2.0, diff.mean()
+    assert (diff > 10).mean() < 0.03
+
+
+def test_blob_render_ineligible_cases():
+    maps = map_loader.load_map("loop_obstacles")
+    assert build_render_plan(
+        EnvConfig(obs_type="rgb", domain_rand=True), maps
+    ) is None
+    npc = map_loader.load_map("loop_pedestrians")
+    assert build_render_plan(EnvConfig(obs_type="rgb"), npc) is None
+
+
+def test_fused_step_uses_blob_renderer():
+    from dtown.ops.fused_env import make_fused_rollout
+
+    cfg = EnvConfig(obs_type="rgb", camera_width=64, camera_height=64)
+    maps = map_loader.load_map("loop_obstacles")
+    B = 8
+    init_blob, fused_step, _ = make_fused_rollout(cfg, maps, B)
+    blob, states = init_blob(jax.random.PRNGKey(0))
+    actions = jnp.tile(jnp.array([0.4, 0.1], jnp.float32), (B, 1))
+    blob2, out, obs = jax.jit(fused_step)(blob, states, actions)
+    assert obs.shape == (B, 3, 64 * 64 // 128, 128)
+    assert obs.dtype == jnp.uint8
+    img = np.asarray(planes_to_nhwc(cfg, obs))
+    assert img.std() > 5.0
+    # frames must track the post-step pose: compare against the XLA
+    # renderer on the unpacked post-step states
+    from dtown.ops.fused_env import update_states_from_blob
+
+    st2 = update_states_from_blob(states, blob2)
+    img_x = np.asarray(
+        jax.vmap(lambda s: env_core.render_obs(cfg, maps, s))(st2)
+    ).astype(int)
+    diff = np.abs(img.astype(int) - img_x)
+    assert diff.mean() < 2.0
