@@ -94,11 +94,6 @@ def main():
 
     print(f"device: {jax.devices()[0]}", file=sys.stderr)
 
-    if args.fused and args.domain_rand:
-        print("domain_rand: falling back to the XLA step path",
-              file=sys.stderr)
-        args.fused = False
-
     if args.fused:
         from dtown.ops.fused_env import make_fused_rollout
 

@@ -159,12 +159,31 @@ def reset(cfg: EnvConfig, maps: MapArrays, key, map_idx=None) -> EnvState:
     if map_idx is None:
         map_idx = jnp.zeros((), dtype=jnp.int32)
     m = select_map(maps, map_idx)
-    key, k_rand, k_spawn = jax.random.split(key, 3)
+    key, k_rand, k_spawn, k_dyn = jax.random.split(key, 4)
     rand = randomization.draw(cfg, k_rand, m.grid_shape, m.max_objects)
 
-    dyn = objlib.init_dyn_state(m)
+    dyn = objlib.init_dyn_state(m, key=k_dyn)
     obj_active = m.obj_mask & (~m.obj_optional | rand["obj_visible"])
-    if cfg.spawn_mode == "bank":
+    if cfg.start_pose is not None:
+        # exact world-pose override (skips spawn sampling, SURVEY §3.4)
+        x0, z0, a0 = cfg.start_pose
+        pos = jnp.asarray([x0, 0.0, z0], jnp.float32)
+        angle = jnp.asarray(a0, jnp.float32)
+    elif cfg.user_tile_start is not None:
+        # reference: user_tile_start pins the start tile; the agent is
+        # placed at its center heading along the tile's first lane curve
+        i0, j0 = cfg.user_tile_start
+        ts = m.tile_size
+        pos = jnp.stack([
+            (i0 + 0.5) * ts, jnp.zeros_like(ts), (j0 + 0.5) * ts,
+        ]).astype(jnp.float32)
+        cps = m.curves[j0, i0, 0]
+        from dtown.geometry import bezier_closest
+
+        t = bezier_closest(cps, pos.astype(cps.dtype))
+        tan = bezier_tangent(cps, t)
+        angle = jnp.arctan2(-tan[2], tan[0]).astype(jnp.float32)
+    elif cfg.spawn_mode == "bank":
         pos, angle = _bank_spawn(cfg, m, dyn.pos, obj_active, k_spawn)
     else:
         pos, angle = _sample_spawn(

@@ -30,11 +30,23 @@ class DuckietownEnv:
     metadata = {"render.modes": ["rgb_array"]}
 
     def __init__(self, map_name: str = C.DEFAULT_MAP_NAME, seed: int = 0,
-                 **cfg_kwargs):
+                 randomize_maps_on_reset: bool = False, **cfg_kwargs):
         cfg_kwargs.setdefault("auto_reset", False)
+        if cfg_kwargs.get("obs_type", "rgb") == "rgb":
+            # the reference gym surface observes at 640x480
+            # (simulator.py DEFAULT_CAMERA_WIDTH/HEIGHT, SURVEY §2.2a);
+            # the vectorized/TPU API keeps its own RL-sized default
+            cfg_kwargs.setdefault("camera_width", C.DEFAULT_CAMERA_WIDTH)
+            cfg_kwargs.setdefault("camera_height", C.DEFAULT_CAMERA_HEIGHT)
         self.cfg = EnvConfig(**cfg_kwargs)
         self.map_name = map_name
         self.maps = map_loader.load_map(map_name)
+        # reference: randomize_maps_on_reset kwarg — reload a random map
+        # on every reset()
+        self._randomize_maps = randomize_maps_on_reset
+        self._map_pool = map_loader.list_maps() if randomize_maps_on_reset \
+            else None
+        self._np_random_maps = np.random.default_rng(seed)
         self._reset = jax.jit(functools.partial(env_core.reset, self.cfg, self.maps))
         self._step = jax.jit(functools.partial(env_core.step, self.cfg, self.maps))
         self._render = jax.jit(
@@ -56,6 +68,19 @@ class DuckietownEnv:
         return [seed]
 
     def reset(self):
+        if self._randomize_maps:
+            new_map = self._map_pool[
+                self._np_random_maps.integers(0, len(self._map_pool))
+            ]
+            if new_map != self.map_name:
+                self.map_name = new_map
+                self.maps = map_loader.load_map(new_map)
+                self._reset = jax.jit(functools.partial(
+                    env_core.reset, self.cfg, self.maps))
+                self._step = jax.jit(functools.partial(
+                    env_core.step, self.cfg, self.maps))
+                self._render = jax.jit(functools.partial(
+                    env_core.render_obs, self.cfg, self.maps))
         self._key, sub = jax.random.split(self._key)
         self.state = self._reset(sub)
         return np.asarray(self._render(self.state))
@@ -84,6 +109,25 @@ class DuckietownEnv:
                 "msg": "",
             }
         }
+        if self.cfg.full_transparency:
+            # reference: full_transparency includes the complete simulator
+            # state in info every step (get_agent_info)
+            info["Simulator"].update({
+                "map_name": self.map_name,
+                "in_lane": bool(out.in_lane),
+                "lane_angle_rad": float(
+                    np.deg2rad(np.asarray(out.lane_angle_deg))
+                ),
+                "collision": bool(out.collision),
+                "step_count": int(self.state.step_count),
+                "domain_rand_params": {
+                    "robot_speed": float(self.state.robot_speed),
+                    "cam_fov_y": float(self.state.cam_fov_y),
+                    "cam_height": float(self.state.cam_height),
+                    "cam_angle": float(self.state.cam_angle),
+                    "wheel_dist": float(self.state.wheel_dist),
+                },
+            })
         return (
             np.asarray(out.obs),
             float(out.reward),

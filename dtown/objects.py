@@ -30,13 +30,26 @@ DUCKIEBOT_GAIN = 0.15         # pure-pursuit steering gain
 DUCKIEBOT_FOLLOW_DIST = 0.30  # m lookahead along the lane curve
 
 
-def init_dyn_state(maps) -> DynObjState:
-    """Initial dynamic-object state from the compiled map."""
+def init_dyn_state(maps, key=None) -> DynObjState:
+    """Initial dynamic-object state from the compiled map.
+
+    With a PRNG key, each walking duckie's speed is drawn
+    ~N(0.02, 0.005) as in the reference (objects.py::DuckieObj
+    ``self.vel = np.abs(np_random.normal(0.02, 0.005))``); without one,
+    the nominal mean is used (deterministic tests/tools).
+    """
     M = maps.max_objects
     f = lambda v: jnp.full((M,), v, dtype=jnp.float32)
     is_duckie = maps.obj_kind == T.OBJ_KIND_IDS["duckie"]
+    duckie_vel = jnp.float32(DUCKIE_WALK_SPEED)
+    if key is not None:
+        duckie_vel = jnp.maximum(
+            DUCKIE_WALK_SPEED
+            + 0.005 * jax.random.normal(key, (M,), dtype=jnp.float32),
+            0.001,
+        )
     vel = jnp.where(
-        maps.obj_is_dynamic & is_duckie, DUCKIE_WALK_SPEED, DUCKIEBOT_VEL
+        maps.obj_is_dynamic & is_duckie, duckie_vel, DUCKIEBOT_VEL
     ).astype(jnp.float32)
     return DynObjState(
         pos=maps.obj_pos,
@@ -47,6 +60,19 @@ def init_dyn_state(maps) -> DynObjState:
         phase=jnp.zeros((M,), dtype=jnp.int32),
         time=f(0.0),
     )
+
+
+def render_angles(maps, dyn: DynObjState):
+    """Render-time object headings: walking duckies get the sinusoidal
+    gait wiggle (reference: DuckieObj — ``angle + wiggle*sin(48*time)``;
+    applied to the drawn mesh only, not the collision footprint)."""
+    from dtown.geometry import sincos
+
+    is_walk_duckie = (
+        maps.obj_is_dynamic & (maps.obj_kind == T.OBJ_KIND_IDS["duckie"])
+    )
+    wob = dyn.wiggle * sincos(DUCKIE_WIGGLE_FREQ * dyn.time)[0]
+    return jnp.where(is_walk_duckie, dyn.angle + wob, dyn.angle)
 
 
 def _duckie_step(dyn: DynObjState, dt):

@@ -17,10 +17,16 @@ from dtown.ops import state_kernel as sk
 from dtown.types import EnvConfig, StepOutput
 
 
-def pack_blob(states) -> jnp.ndarray:
-    """Vmapped EnvState [B] -> blob f32 [NF, B]."""
+def pack_blob(states, maps=None, domain_rand=False) -> jnp.ndarray:
+    """Vmapped EnvState [B] -> blob f32 [NF, B].
+
+    With maps given, moving-NPC state rows (poses/walk/vel from
+    states.dyn) are included; with domain_rand, the per-env
+    randomization rows too. Blob height: nf_for(n_npc, domain_rand).
+    """
     B = states.pos.shape[0]
-    rows = jnp.zeros((sk.NF, B), jnp.float32)
+    npcs = sk.moving_npcs(maps) if maps is not None else []
+    rows = jnp.zeros((sk.nf_for(len(npcs), domain_rand), B), jnp.float32)
     rows = rows.at[sk.F_POS_X].set(states.pos[:, 0])
     rows = rows.at[sk.F_POS_Y].set(states.pos[:, 1])
     rows = rows.at[sk.F_POS_Z].set(states.pos[:, 2])
@@ -35,6 +41,48 @@ def pack_blob(states) -> jnp.ndarray:
     rows = rows.at[sk.F_ROBOT_SPEED].set(states.robot_speed)
     rows = rows.at[sk.F_WHEEL_DIST].set(states.wheel_dist)
     rows = rows.at[sk.F_ENVID].set(jnp.arange(B, dtype=jnp.float32))
+    for i, npc in enumerate(npcs):
+        base = sk.F_NPC_BASE + sk.NPC_ROWS * i
+        s = npc["slot"]
+        rows = rows.at[base + 0].set(states.dyn.pos[:, s, 0])
+        rows = rows.at[base + 1].set(states.dyn.pos[:, s, 2])
+        rows = rows.at[base + 2].set(states.dyn.angle[:, s])
+        rows = rows.at[base + 3].set(states.dyn.walk_dist[:, s])
+        rows = rows.at[base + 4].set(states.dyn.vel[:, s])
+    if domain_rand:
+        drb = sk.dr_base(len(npcs))
+        rows = rows.at[drb + sk.DR_FOV].set(states.cam_fov_y)
+        rows = rows.at[drb + sk.DR_CAMH].set(states.cam_height)
+        rows = rows.at[drb + sk.DR_CAMA].set(states.cam_angle)
+        rows = rows.at[drb + sk.DR_CAMF].set(states.cam_fwd_dist)
+        rows = rows.at[drb + sk.DR_LX].set(states.light_dir[:, 0])
+        rows = rows.at[drb + sk.DR_LY].set(states.light_dir[:, 1])
+        rows = rows.at[drb + sk.DR_LZ].set(states.light_dir[:, 2])
+        rows = rows.at[drb + sk.DR_AMB].set(states.light_ambient)
+        rows = rows.at[drb + sk.DR_GR].set(states.ground_color[:, 0])
+        rows = rows.at[drb + sk.DR_GG].set(states.ground_color[:, 1])
+        rows = rows.at[drb + sk.DR_GB].set(states.ground_color[:, 2])
+        rows = rows.at[drb + sk.DR_HR].set(states.horizon_color[:, 0])
+        rows = rows.at[drb + sk.DR_HG].set(states.horizon_color[:, 1])
+        rows = rows.at[drb + sk.DR_HB].set(states.horizon_color[:, 2])
+        rows = rows.at[drb + sk.DR_TEXSEED].set(
+            states.tex_seed.astype(jnp.float32)
+        )
+        if maps is not None:
+            import numpy as np
+
+            optional = np.asarray(maps.obj_optional)
+            cols = np.nonzero(np.asarray(maps.obj_mask))[0]
+            vis = jnp.zeros((B,), jnp.float32)
+            kbit = 0
+            for s in cols:
+                if bool(optional[int(s)]):
+                    vis = vis + jnp.where(
+                        states.obj_visible[:, int(s)], float(1 << kbit),
+                        0.0,
+                    )
+                    kbit += 1
+            rows = rows.at[drb + sk.DR_OBJVIS].set(vis)
     return rows
 
 
@@ -52,8 +100,86 @@ def unpack_outputs(blob) -> StepOutput:
     )
 
 
-def update_states_from_blob(states, blob):
-    """Write the blob's pose fields back into an EnvState pytree."""
+def update_states_from_blob(states, blob, maps=None, domain_rand=False):
+    """Write the blob's pose fields back into an EnvState pytree.
+
+    With maps given, moving-NPC rows are written back into states.dyn
+    (pos/angle/walk/vel; time is rebuilt from the env step counter, which
+    is what drives the traffic-light phase and duckie wiggle). With
+    domain_rand, the per-env randomization rows are restored too.
+    """
+    dyn = states.dyn
+    npcs = sk.moving_npcs(maps) if maps is not None else []
+    if domain_rand:
+        drb = sk.dr_base(len(npcs))
+        from dtown.randomization import variant_hash
+
+        H, W = states.tex_variant.shape[-2:]
+        tile_ids = jnp.arange(H * W, dtype=jnp.int32).reshape(H, W)
+        seed = blob[drb + sk.DR_TEXSEED].astype(jnp.int32)
+        states = states.replace(
+            cam_fov_y=blob[drb + sk.DR_FOV],
+            cam_height=blob[drb + sk.DR_CAMH],
+            cam_angle=blob[drb + sk.DR_CAMA],
+            cam_fwd_dist=blob[drb + sk.DR_CAMF],
+            light_dir=jnp.stack(
+                [blob[drb + sk.DR_LX], blob[drb + sk.DR_LY],
+                 blob[drb + sk.DR_LZ]], axis=-1),
+            light_ambient=blob[drb + sk.DR_AMB],
+            ground_color=jnp.stack(
+                [blob[drb + sk.DR_GR], blob[drb + sk.DR_GG],
+                 blob[drb + sk.DR_GB]], axis=-1),
+            horizon_color=jnp.stack(
+                [blob[drb + sk.DR_HR], blob[drb + sk.DR_HG],
+                 blob[drb + sk.DR_HB]], axis=-1),
+            tex_seed=seed,
+            tex_variant=jax.vmap(
+                lambda s_: variant_hash(tile_ids, s_)
+            )(seed),
+            robot_speed=blob[sk.F_ROBOT_SPEED],
+            wheel_dist=blob[sk.F_WHEEL_DIST],
+        )
+        if maps is not None:
+            import numpy as np
+
+            optional = np.asarray(maps.obj_optional)
+            cols = np.nonzero(np.asarray(maps.obj_mask))[0]
+            visrow = blob[drb + sk.DR_OBJVIS]
+            obj_vis = states.obj_visible
+            kbit = 0
+            for s in cols:
+                if bool(optional[int(s)]):
+                    bit = (
+                        jnp.floor(visrow / float(1 << kbit)).astype(
+                            jnp.int32) & 1
+                    ) > 0
+                    obj_vis = obj_vis.at[:, int(s)].set(bit)
+                    kbit += 1
+            states = states.replace(obj_visible=obj_vis)
+    if npcs:
+        pos = dyn.pos
+        ang = dyn.angle
+        walk = dyn.walk_dist
+        vel = dyn.vel
+        for i, npc in enumerate(npcs):
+            base = sk.F_NPC_BASE + sk.NPC_ROWS * i
+            s = npc["slot"]
+            pos = pos.at[:, s, 0].set(blob[base + 0])
+            pos = pos.at[:, s, 2].set(blob[base + 1])
+            ang = ang.at[:, s].set(blob[base + 2])
+            walk = walk.at[:, s].set(blob[base + 3])
+            vel = vel.at[:, s].set(blob[base + 4])
+        from dtown.objects import TRAFFICLIGHT_PERIOD
+
+        t_env = blob[sk.F_TIME][:, None]
+        dyn = dyn.replace(
+            pos=pos, angle=ang, walk_dist=walk, vel=vel,
+            time=jnp.broadcast_to(t_env, dyn.time.shape),
+            phase=(
+                jnp.floor(t_env / TRAFFICLIGHT_PERIOD).astype(jnp.int32) % 2
+                + jnp.zeros_like(dyn.phase)
+            ),
+        )
     return states.replace(
         pos=jnp.stack(
             [blob[sk.F_POS_X], blob[sk.F_POS_Y], blob[sk.F_POS_Z]], axis=-1
@@ -62,6 +188,7 @@ def update_states_from_blob(states, blob):
         speed=blob[sk.F_SPEED],
         wheel_vels=jnp.stack([blob[sk.F_WVL], blob[sk.F_WVR]], axis=-1),
         step_count=blob[sk.F_STEP].astype(jnp.int32),
+        dyn=dyn,
     )
 
 
@@ -112,7 +239,8 @@ def obs_from_blob(cfg: EnvConfig, maps, blob, states_template):
     from dtown import env as env_core
     from dtown.geometry import get_lane_pos2
 
-    states = update_states_from_blob(states_template, blob)
+    states = update_states_from_blob(states_template, blob, maps,
+                                     cfg.domain_rand)
     if cfg.obs_type == "rgb":
         from dtown.render.pallas_raster import render_frames_pallas
 
@@ -144,29 +272,10 @@ def make_fused_rollout(cfg: EnvConfig, maps, num_envs: int):
     from dtown import env as env_core
     from dtown import types as T
 
-    if cfg.domain_rand:
-        raise NotImplementedError(
-            "the fused kernel path does not re-draw domain randomization "
-            "at auto-reset yet; use the XLA path (renderer='pallas' still "
-            "works there) for domain_rand=True"
-        )
     if num_envs % 8 != 0:
         raise ValueError(
             f"the fused kernel path requires num_envs divisible by 8 (TPU "
             f"sublane width); got {num_envs}"
-        )
-    moving = (
-        np.asarray(maps.obj_mask)
-        & np.asarray(maps.obj_is_dynamic)
-        & (np.asarray(maps.obj_kind) != T.OBJ_KIND_IDS["trafficlight"])
-    )
-    if moving.any():
-        raise NotImplementedError(
-            "this map has moving NPCs (walking duckies / scripted "
-            "duckiebots), whose state machines are not folded into the "
-            "fused state kernel yet — the fused path would silently "
-            "simulate them frozen at their initial poses. Use the XLA "
-            "step path (bench.py --no-fused) for NPC maps."
         )
     tables = sk.build_tables(cfg, maps)
     if cfg.obs_type == "rgb":
@@ -182,7 +291,7 @@ def make_fused_rollout(cfg: EnvConfig, maps, num_envs: int):
         states = jax.vmap(lambda k, i: env_core.reset(cfg, maps, k, i))(
             keys, idx
         )
-        return pack_blob(states), states
+        return pack_blob(states, maps, cfg.domain_rand), states
 
     def fused_step(blob, states_template, actions):
         blob = sk.state_step_pallas(cfg, maps, blob, actions, tables)
@@ -197,7 +306,8 @@ def make_fused_rollout(cfg: EnvConfig, maps, num_envs: int):
                 return blob, out, obs
             from dtown.render.pallas_raster import render_frames_pallas
 
-            states = update_states_from_blob(states_template, blob)
+            states = update_states_from_blob(states_template, blob, maps,
+                                             cfg.domain_rand)
             planes = render_frames_pallas(cfg, maps, states)
             obs = planes
         else:
@@ -220,15 +330,20 @@ def make_fused_rollout(cfg: EnvConfig, maps, num_envs: int):
             )
         return blob, out, obs
 
-    @functools.partial(jax.jit, static_argnums=(3,), donate_argnums=(0,))
-    def rollout(blob, states_template, actions, n_iters, unroll=1):
+    @functools.partial(jax.jit, static_argnums=(3, 4), donate_argnums=(0,))
+    def rollout(blob, states_template, actions, n_iters, unroll=4):
         def body(b, _):
             b, out, obs = fused_step(b, states_template, actions)
-            return b, (out.reward.sum(), jnp.sum(obs, dtype=jnp.int32)
-                       if cfg.obs_type == "rgb" else obs.sum().astype(jnp.int32))
+            if cfg.obs_type == "rgb":
+                # checksum a plane slice: keeps the renderer live without
+                # paying a full 50 MB/step reduction in the harness
+                osum = jnp.sum(obs[:, 0, 0, :], dtype=jnp.int32)
+            else:
+                osum = obs.sum().astype(jnp.int32)
+            return b, (out.reward.sum(), osum)
 
         blob, (rsum, osum) = jax.lax.scan(
-            body, blob, None, length=n_iters
+            body, blob, None, length=n_iters, unroll=unroll
         )
         return blob, rsum[-1], osum[-1]
 

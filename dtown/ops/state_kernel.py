@@ -46,7 +46,62 @@ F_ENVID = 21
 # spawn bank carries precomputed lane features per entry (build_tables),
 # selected into these rows on done.
 F_OLDIST, F_OLDOT, F_OLDEG, F_OINLANE = 22, 23, 24, 25
-NF = 32  # padded to a multiple of 8 sublanes
+# moving-NPC state rows (walking duckies / scripted duckiebots): NPC i of
+# the map occupies rows F_NPC_BASE + 5*i .. +4 = (x, z, angle, walk, vel).
+# The blob height NF therefore depends on the map — use nf_for(n_npc);
+# the module constant NF is the no-NPC baseline kept for static maps.
+F_NPC_BASE = 26
+NPC_ROWS = 5
+NF = 32  # padded to a multiple of 8 sublanes (no-NPC, no-DR layout)
+
+# Domain-randomization rows (only present when cfg.domain_rand): per-env
+# reset-time draws consumed by the render kernel and redrawn in-kernel at
+# auto-reset (reference: Simulator.reset randomization, SURVEY §3.4).
+# Offsets are relative to dr_base(n_npc).
+DR_ROWS = 16
+(DR_FOV, DR_CAMH, DR_CAMA, DR_CAMF, DR_LX, DR_LY, DR_LZ, DR_AMB,
+ DR_GR, DR_GG, DR_GB, DR_HR, DR_HG, DR_HB, DR_TEXSEED, DR_OBJVIS) = range(16)
+
+
+def dr_base(n_npc: int) -> int:
+    return F_NPC_BASE + NPC_ROWS * n_npc
+
+
+def nf_for(n_npc: int, domain_rand: bool = False) -> int:
+    """Blob sublane count for a map with n_npc moving NPCs."""
+    rows = dr_base(n_npc) + (DR_ROWS if domain_rand else 0)
+    return max(NF, -(-rows // 8) * 8)
+
+
+def moving_npcs(maps):
+    """Static per-map descriptors of moving NPCs, in object-slot order.
+
+    reference: objects.py — DuckieObj (walking pedestrian) and
+    DuckiebotObj (scripted lane follower); TrafficLightObj has a static
+    pose (phase-only) and stays in the static object table.
+    """
+    mask = (
+        np.asarray(maps.obj_mask)
+        & np.asarray(maps.obj_is_dynamic)
+        & (np.asarray(maps.obj_kind) != T.OBJ_KIND_IDS["trafficlight"])
+    )
+    kinds = np.asarray(maps.obj_kind)
+    pos = np.asarray(maps.obj_pos)
+    rot = np.asarray(maps.obj_y_rot)
+    hd = np.asarray(maps.obj_halfdims)
+    rad = np.asarray(maps.obj_safety_rad)
+    duckie_id = T.OBJ_KIND_IDS["duckie"]
+    out = []
+    for s in np.nonzero(mask)[0]:
+        out.append(dict(
+            slot=int(s),
+            kind="duckie" if int(kinds[s]) == duckie_id else "duckiebot",
+            x0=float(pos[s, 0]), z0=float(pos[s, 2]),
+            a0=float(rot[s]),
+            hw=float(hd[s, 0]), hl=float(hd[s, 1]),
+            rad=float(rad[s]),
+        ))
+    return out
 
 BB = 512  # envs per kernel program (tunable; fewer programs = less per-program overhead)
 
@@ -99,13 +154,23 @@ def _hash_u32(a, b):
     return h ^ (h >> 16)
 
 
-def make_state_kernel(cfg, Hg, Wg, n_words, M, n_spawn_ok, bb=None):
+def make_state_kernel(cfg, Hg, Wg, n_words, M, n_spawn_ok, bb=None,
+                      npcs=(), moving_cols=(), opt_cols=()):
     """Kernel factory; all map/shape facts static.
+
+    npcs: static tuple of moving-NPC descriptors (moving_npcs()); their
+    state machines (duckie walk / duckiebot lane following, reference:
+    objects.py) advance inside the kernel, and collision/proximity use
+    their live poses. moving_cols: (table_col, npc_idx) pairs mapping
+    object-table columns to NPC indices (their static table entries are
+    stale and are overridden).
 
     DTOWN_KERNEL_SKIP (debug): comma list in {lane,sat,reset,driv} to
     drop sections for performance attribution.
     """
     import os
+
+    from dtown import objects as objlib
 
     skip = set(os.environ.get("DTOWN_KERNEL_SKIP", "").split(","))
     bb = bb or BB
@@ -117,11 +182,15 @@ def make_state_kernel(cfg, Hg, Wg, n_words, M, n_spawn_ok, bb=None):
     max_steps = float(cfg.max_steps)
     auto_reset = bool(cfg.auto_reset)
     collision_on = M > 0
+    moving_of_col = dict(moving_cols)
+    domain_rand = bool(cfg.domain_rand)
+    opt_bit_of_col = {c: k for k, c in enumerate(opt_cols)}
+    drb = dr_base(len(npcs))
 
     T_tiles = Hg * Wg
 
-    def kernel(blob_ref, words_ref, ct_ref, ot_ref, bank_ref, tsref,
-               out_ref):
+    def kernel(blob_ref, act_ref, words_ref, ct_ref, ot_ref, bank_ref,
+               tsref, out_ref):
         f32 = jnp.float32
         row = lambda r: blob_ref[r, :][None, :]          # [1, BB]
 
@@ -131,13 +200,26 @@ def make_state_kernel(cfg, Hg, Wg, n_words, M, n_spawn_ok, bb=None):
         pos_y = row(F_POS_Y)
         pos_z = row(F_POS_Z)
         angle = row(F_ANGLE)
-        act0 = row(F_ACT0)
-        act1 = row(F_ACT1)
+        act0 = act_ref[0, :][None, :]
+        act1 = act_ref[1, :][None, :]
         robot_speed = row(F_ROBOT_SPEED)
         wheel_dist = row(F_WHEEL_DIST)
         step_cnt = row(F_STEP)
         rng_ctr = row(F_RNG)
         env_id = row(F_ENVID)
+        if domain_rand:
+            dr_rows = [row(drb + k) for k in range(DR_ROWS)]
+
+            def _u01(tag):
+                """Per-(env, episode, tag) uniform in [0, 1) from the
+                integer-hash PRNG (threefry is too slow per step)."""
+                hv = _hash_u32(
+                    (rng_ctr.astype(jnp.int32) * 2654435 + tag * 7919 + 3)
+                    & 0x7FFFFFFF,
+                    (env_id.astype(jnp.int32) * 97 + tag * 131)
+                    & 0x7FFFFFFF,
+                )
+                return (hv & 0xFFFF).astype(jnp.float32) / 65536.0
 
         # ---- wheel model (envs/duckietown_env.py inverse kinematics) --
         if use_wm:
@@ -221,6 +303,141 @@ def make_state_kernel(cfg, Hg, Wg, n_words, M, n_spawn_ok, bb=None):
             d_f, _, _ = drivable_at(acx + hl * dir_x, acz + hl * dir_z)
             all_driv = d_c2 & d_l & d_r & d_f
 
+        # ---- lane query (shared: agent get_lane_pos2 + duckiebot NPCs)
+        def lane_query(qx, qz, qdx, qdz):
+            """closest_curve_point semantics on position (qx, qz) with
+            heading (qdx, qdz): curve package of the tile fetched via
+            table_T @ onehot_T, chord-dot curve select, fixed-depth
+            bisection. Returns (point_x, point_z, tan_x, tan_z, best_dot,
+            drivable)."""
+            q_driv, tid_q, _ = drivable_at(qx, qz)
+            oh = (
+                jax.lax.broadcasted_iota(jnp.int32, (T_tiles, bb), 0)
+                == tid_q
+            ).astype(f32)  # [T, BB]
+            pkg = jax.lax.dot_general(
+                ct_ref[:, :], oh,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=f32,
+            )  # [CT_F, BB]
+
+            best_dot = jnp.full_like(qx, -1e30)
+            cps = [jnp.zeros_like(qx) for _ in range(8)]
+            for c in range(N_CURVES):
+                chx = pkg[CT_CHX + c, :][None, :]
+                chz = pkg[CT_CHZ + c, :][None, :]
+                vld = pkg[CT_VALID + c, :][None, :]
+                dot = chx * qdx + chz * qdz
+                dot = jnp.where(vld > 0.5, dot, -1e30)
+                better = dot > best_dot
+                best_dot = jnp.where(better, dot, best_dot)
+                for k in range(8):
+                    val = pkg[CT_CPS + c * 12 + k, :][None, :]
+                    cps[k] = jnp.where(better, val, cps[k])
+            # cps rows pack x/z of the 4 control points (y=0):
+            # [x0,z0,x1,z1,x2,z2,x3,z3] (build_tables)
+            x0, z0, x1, z1, x2, z2, x3, z3 = cps
+
+            def bz_point(t):
+                u = 1.0 - t
+                w0 = u * u * u
+                w1 = 3.0 * t * u * u
+                w2 = 3.0 * t * t * u
+                w3 = t * t * t
+                return (w0 * x0 + w1 * x1 + w2 * x2 + w3 * x3,
+                        w0 * z0 + w1 * z1 + w2 * z2 + w3 * z3)
+
+            t_bot = jnp.zeros_like(qx)
+            t_top = jnp.ones_like(qx)
+            for _ in range(C.BEZIER_CLOSEST_ITERS):
+                mid = 0.5 * (t_bot + t_top)
+                bx, bz_ = bz_point(t_bot)
+                tx, tz = bz_point(t_top)
+                db = (bx - qx) ** 2 + (bz_ - qz) ** 2
+                dtp = (tx - qx) ** 2 + (tz - qz) ** 2
+                keep_bot = db < dtp
+                t_bot, t_top = (
+                    jnp.where(keep_bot, t_bot, mid),
+                    jnp.where(keep_bot, mid, t_top),
+                )
+            t_star = 0.5 * (t_bot + t_top)
+            px_c, pz_c = bz_point(t_star)
+            u = 1.0 - t_star
+            tanx = (3 * u * u * (x1 - x0) + 6 * u * t_star * (x2 - x1)
+                    + 3 * t_star * t_star * (x3 - x2))
+            tanz = (3 * u * u * (z1 - z0) + 6 * u * t_star * (z2 - z1)
+                    + 3 * t_star * t_star * (z3 - z2))
+            tinv = jax.lax.rsqrt(
+                jnp.maximum(tanx * tanx + tanz * tanz, 1e-24)
+            )
+            return px_c, pz_c, tanx * tinv, tanz * tinv, best_dot, q_driv
+
+        # ---- moving-NPC state machines (objects.py semantics) ---------
+        npc_xs, npc_zs, npc_as, npc_walks, npc_vels = [], [], [], [], []
+        for i, npc in enumerate(npcs):
+            base = F_NPC_BASE + NPC_ROWS * i
+            npc_xs.append(row(base + 0))
+            npc_zs.append(row(base + 1))
+            npc_as.append(row(base + 2))
+            npc_walks.append(row(base + 3))
+            npc_vels.append(row(base + 4))
+        for _ in range(frame_skip if npcs else 0):
+            for i, npc in enumerate(npcs):
+                nx, nz = npc_xs[i], npc_zs[i]
+                na, nw, nv = npc_as[i], npc_walks[i], npc_vels[i]
+                s_n, c_n = _sincos(na)
+                if npc["kind"] == "duckie":
+                    # walk along heading, reverse after walk_distance
+                    step_len = nv * dt
+                    nx = nx + step_len * c_n
+                    nz = nz - step_len * s_n
+                    nw = nw + step_len
+                    rev = nw > objlib.DUCKIE_WALK_DISTANCE
+                    na = jnp.where(rev, na + np.pi, na)
+                    nw = jnp.where(rev, 0.0, nw)
+                else:  # scripted duckiebot lane follower
+                    bdx, bdz = c_n, -s_n
+                    cpx, cpz, ctx, ctz, bd1, drv1 = lane_query(
+                        nx, nz, bdx, bdz
+                    )
+                    fpx = cpx + objlib.DUCKIEBOT_FOLLOW_DIST * ctx
+                    fpz = cpz + objlib.DUCKIEBOT_FOLLOW_DIST * ctz
+                    gpx, gpz, _, _, bd2, drv2 = lane_query(
+                        fpx, fpz, bdx, bdz
+                    )
+                    pvx = gpx - nx
+                    pvz = gpz - nz
+                    pinv = jax.lax.rsqrt(
+                        jnp.maximum(pvx * pvx + pvz * pvz, 1e-18)
+                    )
+                    # right_vec = (sin a, cos a) in the x-z plane
+                    dotr = (s_n * pvx + c_n * pvz) * pinv
+                    steering = objlib.DUCKIEBOT_GAIN * (-dotr)
+                    ok = drv1 & (bd1 > 0.0) & drv2 & (bd2 > 0.0)
+                    steering = jnp.where(ok, steering, 0.0)
+                    bvl = nv - steering
+                    bvr = nv + steering
+                    # differential drive about WHEEL_DIST (update_pos)
+                    straight_b = bvl == bvr
+                    npx_s = nx + dt * bvl * bdx
+                    npz_s = nz + dt * bvl * bdz
+                    denom_b = jnp.where(straight_b, 1.0, bvl - bvr)
+                    w_b = (bvr - bvl) / C.WHEEL_DIST
+                    r_b = C.WHEEL_DIST * (bvl + bvr) / (2.0 * denom_b)
+                    rot_b = w_b * dt
+                    cx_b = nx + r_b * s_n
+                    cz_b = nz + r_b * c_n
+                    s_rb, c_rb = _sincos(rot_b)
+                    dx_b = nx - cx_b
+                    dz_b = nz - cz_b
+                    npx_a = cx_b + dx_b * c_rb + dz_b * s_rb
+                    npz_a = cz_b + dz_b * c_rb - dx_b * s_rb
+                    nx = jnp.where(straight_b, npx_s, npx_a)
+                    nz = jnp.where(straight_b, npz_s, npz_a)
+                    na = na + jnp.where(straight_b, 0.0, rot_b)
+                npc_xs[i], npc_zs[i] = nx, nz
+                npc_as[i], npc_walks[i] = na, nw
+
         # ---- SAT collision + proximity (collision.py semantics) -------
         collided = jnp.zeros_like(all_driv)
         prox_static = jnp.full_like(pos_x, 1e30)
@@ -234,15 +451,56 @@ def make_state_kernel(cfg, Hg, Wg, n_words, M, n_spawn_ok, bb=None):
                     acz + sf * hl * dir_z + sr * hw * right_z,
                 ))
             for m in range(M):
-                ocx = [ot_ref[OT_CX[2 * i], m] for i in range(4)]
-                ocz = [ot_ref[OT_CX[2 * i + 1], m] for i in range(4)]
-                axes = [
-                    (dir_x, dir_z), (right_x, right_z),
-                    (jnp.full_like(pos_x, ot_ref[OT_NX[0], m]),
-                     jnp.full_like(pos_x, ot_ref[OT_NX[1], m])),
-                    (jnp.full_like(pos_x, ot_ref[OT_NX[2], m]),
-                     jnp.full_like(pos_x, ot_ref[OT_NX[3], m])),
-                ]
+                if m in moving_of_col:
+                    # live NPC footprint (objects.py::dynamic_corners)
+                    i = moving_of_col[m]
+                    npc = npcs[i]
+                    nx, nz, na = npc_xs[i], npc_zs[i], npc_as[i]
+                    s_n, c_n = _sincos(na)
+                    fx_n, fz_n = c_n, -s_n
+                    rx_n, rz_n = s_n, c_n
+                    hw_n, hl_n = npc["hw"], npc["hl"]
+                    ocx = [
+                        nx - hl_n * fx_n - hw_n * rx_n,
+                        nx + hl_n * fx_n - hw_n * rx_n,
+                        nx + hl_n * fx_n + hw_n * rx_n,
+                        nx - hl_n * fx_n + hw_n * rx_n,
+                    ]
+                    ocz = [
+                        nz - hl_n * fz_n - hw_n * rz_n,
+                        nz + hl_n * fz_n - hw_n * rz_n,
+                        nz + hl_n * fz_n + hw_n * rz_n,
+                        nz - hl_n * fz_n + hw_n * rz_n,
+                    ]
+                    # box SAT axes = its facing/right unit vectors
+                    obj_axes = [(rx_n, rz_n), (fx_n, fz_n)]
+                    o_px, o_pz = nx, nz
+                    o_rad = npc["rad"]
+                    o_act = True
+                    o_dyn = True
+                else:
+                    ocx = [ot_ref[OT_CX[2 * i], m] for i in range(4)]
+                    ocz = [ot_ref[OT_CX[2 * i + 1], m] for i in range(4)]
+                    obj_axes = [
+                        (jnp.full_like(pos_x, ot_ref[OT_NX[0], m]),
+                         jnp.full_like(pos_x, ot_ref[OT_NX[1], m])),
+                        (jnp.full_like(pos_x, ot_ref[OT_NX[2], m]),
+                         jnp.full_like(pos_x, ot_ref[OT_NX[3], m])),
+                    ]
+                    o_px = ot_ref[OT_PX, m]
+                    o_pz = ot_ref[OT_PZ, m]
+                    o_rad = ot_ref[OT_RAD, m]
+                    o_act = ot_ref[OT_ACT, m] > 0.5
+                    o_dyn = ot_ref[OT_DYN, m] > 0.5
+                    if domain_rand and m in opt_bit_of_col:
+                        # optional-object visibility draw: bit m of the
+                        # per-env obj_visible bitmask row
+                        kbit = opt_bit_of_col[m]
+                        bit = jnp.floor(
+                            dr_rows[DR_OBJVIS] * (1.0 / (1 << kbit))
+                        ).astype(jnp.int32) & 1
+                        o_act = o_act & (bit > 0)
+                axes = [(dir_x, dir_z), (right_x, right_z)] + obj_axes
                 separated = jnp.zeros_like(all_driv)
                 for ax, az in axes:
                     amin = amax = None
@@ -256,23 +514,28 @@ def make_state_kernel(cfg, Hg, Wg, n_words, M, n_spawn_ok, bb=None):
                         bmin = pb if bmin is None else jnp.minimum(bmin, pb)
                         bmax = pb if bmax is None else jnp.maximum(bmax, pb)
                     separated = separated | (amax < bmin) | (bmax < amin)
-                hit = (~separated) & (ot_ref[OT_ACT, m] > 0.5)
+                hit = ~separated if o_act is True else (
+                    (~separated) & o_act
+                )
                 collided = collided | hit
 
                 # proximity penalty (safety circles)
-                dxo = ot_ref[OT_PX, m] - acx
-                dzo = ot_ref[OT_PZ, m] - acz
+                dxo = o_px - acx
+                dzo = o_pz - acz
                 dist_o = jnp.sqrt(dxo * dxo + dzo * dzo)
-                score = dist_o - C.AGENT_SAFETY_RAD - ot_ref[OT_RAD, m]
-                is_act = ot_ref[OT_ACT, m] > 0.5
-                is_dyn = ot_ref[OT_DYN, m] > 0.5
-                prox_static = jnp.where(
-                    is_act & ~is_dyn, jnp.minimum(prox_static, score),
-                    prox_static,
-                )
-                prox_dyn = prox_dyn + jnp.where(
-                    is_act & is_dyn, jnp.minimum(0.0, score), 0.0
-                )
+                score = dist_o - C.AGENT_SAFETY_RAD - o_rad
+                if o_act is True and o_dyn is True:
+                    prox_dyn = prox_dyn + jnp.minimum(0.0, score)
+                elif o_act is True:
+                    prox_static = jnp.minimum(prox_static, score)
+                else:
+                    prox_static = jnp.where(
+                        o_act & ~o_dyn, jnp.minimum(prox_static, score),
+                        prox_static,
+                    )
+                    prox_dyn = prox_dyn + jnp.where(
+                        o_act & o_dyn, jnp.minimum(0.0, score), 0.0
+                    )
         col_penalty = jnp.minimum(0.0, prox_static) + prox_dyn
 
         valid = all_driv & ~collided
@@ -284,70 +547,11 @@ def make_state_kernel(cfg, Hg, Wg, n_words, M, n_spawn_ok, bb=None):
             ang_rad = jnp.zeros_like(pos_x)
             in_lane = d_c
         else:
-            # fetch this tile's curve package via table_T @ onehot_T
-            oh = (
-                jax.lax.broadcasted_iota(jnp.int32, (T_tiles, bb), 0)
-                == tid_pos
-            ).astype(f32)  # [T, BB]
-            pkg = jax.lax.dot_general(
-                ct_ref[:, :], oh,
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=f32,
-            )  # [CT_F, BB]
-
-            best_dot = jnp.full_like(pos_x, -1e30)
-            cps = [jnp.zeros_like(pos_x) for _ in range(12)]
-            for c in range(N_CURVES):
-                chx = pkg[CT_CHX + c, :][None, :]
-                chz = pkg[CT_CHZ + c, :][None, :]
-                vld = pkg[CT_VALID + c, :][None, :]
-                dot = chx * dir_x + chz * dir_z
-                dot = jnp.where(vld > 0.5, dot, -1e30)
-                better = dot > best_dot
-                best_dot = jnp.where(better, dot, best_dot)
-                for k in range(12):
-                    val = pkg[CT_CPS + c * 12 + k, :][None, :]
-                    cps[k] = jnp.where(better, val, cps[k])
-            # cps rows: [x0,z0, x1,z1, x2,z2, x3,z3, ...] -> use layout
-            # k: 0..11 = (x,y?,z) triplets? We pack only x/z (y=0):
-            # k = c*? see fused_env packing: [x0,z0,x1,z1,x2,z2,x3,z3] + pad
-            x0, z0, x1, z1, x2, z2, x3, z3 = cps[:8]
-
-            def bz_point(t):
-                u = 1.0 - t
-                w0 = u * u * u
-                w1 = 3.0 * t * u * u
-                w2 = 3.0 * t * t * u
-                w3 = t * t * t
-                return (w0 * x0 + w1 * x1 + w2 * x2 + w3 * x3,
-                        w0 * z0 + w1 * z1 + w2 * z2 + w3 * z3)
-
-            t_bot = jnp.zeros_like(pos_x)
-            t_top = jnp.ones_like(pos_x)
-            for _ in range(C.BEZIER_CLOSEST_ITERS):
-                mid = 0.5 * (t_bot + t_top)
-                bx, bz_ = bz_point(t_bot)
-                tx, tz = bz_point(t_top)
-                db = (bx - pos_x) ** 2 + (bz_ - pos_z) ** 2
-                dtp = (tx - pos_x) ** 2 + (tz - pos_z) ** 2
-                keep_bot = db < dtp
-                t_bot, t_top = (
-                    jnp.where(keep_bot, t_bot, mid),
-                    jnp.where(keep_bot, mid, t_top),
-                )
-            t_star = 0.5 * (t_bot + t_top)
-            px_c, pz_c = bz_point(t_star)
-            u = 1.0 - t_star
-            tanx = (3 * u * u * (x1 - x0) + 6 * u * t_star * (x2 - x1)
-                    + 3 * t_star * t_star * (x3 - x2))
-            tanz = (3 * u * u * (z1 - z0) + 6 * u * t_star * (z2 - z1)
-                    + 3 * t_star * t_star * (z3 - z2))
-            tinv = jax.lax.rsqrt(jnp.maximum(tanx * tanx + tanz * tanz, 1e-24))
-            tanx = tanx * tinv
-            tanz = tanz * tinv
-
+            px_c, pz_c, tanx, tanz, best_dot, _ = lane_query(
+                pos_x, pos_z, dir_x, dir_z
+            )
             dot_dir = jnp.clip(dir_x * tanx + dir_z * tanz, -1.0, 1.0)
-            # right-of-curve = cross(tangent, up): (tz*1? ) for t=(tx,0,tz):
+            # right-of-curve = cross(tangent, up):
             # cross((tx,0,tz),(0,1,0)) = (-tz, 0, tx)
             rox = -tanz
             roz = tanx
@@ -405,6 +609,84 @@ def make_state_kernel(cfg, Hg, Wg, n_words, M, n_spawn_ok, bb=None):
             o_ldot = jnp.where(done, sp[BK_LDOT, :][None, :], o_ldot)
             o_ldeg = jnp.where(done, sp[BK_LDEG, :][None, :], o_ldeg)
             o_inlane = jnp.where(done, sp[BK_INLANE, :][None, :], o_inlane)
+            # NPCs re-place at their initial poses on episode reset
+            # (reference: Simulator.reset re-places dynamic objects);
+            # duckie walk speed redrawn ~N(0.02, 0.005) via the in-kernel
+            # hash PRNG (Irwin-Hall 4-uniform approximation).
+            for i, npc in enumerate(npcs):
+                npc_xs[i] = jnp.where(done, npc["x0"], npc_xs[i])
+                npc_zs[i] = jnp.where(done, npc["z0"], npc_zs[i])
+                npc_as[i] = jnp.where(done, npc["a0"], npc_as[i])
+                npc_walks[i] = jnp.where(done, 0.0, npc_walks[i])
+                if npc["kind"] == "duckie":
+                    usum = jnp.zeros_like(pos_x)
+                    for j in range(4):
+                        hv = _hash_u32(
+                            (rng_ctr.astype(jnp.int32) * 69069 + 7 * j + 13)
+                            & 0x7FFFFFFF,
+                            (env_id.astype(jnp.int32) * 31 + i)
+                            & 0x7FFFFFFF,
+                        )
+                        usum = usum + (hv & 0xFFFF).astype(f32) / 65536.0
+                    nrm = (usum - 2.0) * 1.7320508  # ~N(0, 1)
+                    fresh_vel = jnp.maximum(
+                        objlib.DUCKIE_WALK_SPEED + 0.005 * nrm, 0.001
+                    )
+                    npc_vels[i] = jnp.where(done, fresh_vel, npc_vels[i])
+            if domain_rand:
+                # re-draw every randomization field for fresh episodes
+                # (ranges exactly as randomization.draw, SURVEY §3.4)
+                def rdw(cur, lo, hi, tag):
+                    return jnp.where(done, lo + (hi - lo) * _u01(tag), cur)
+
+                rs0 = float(cfg.robot_speed)
+                robot_speed = rdw(robot_speed, 0.9 * rs0, 1.1 * rs0, 1)
+                wheel_dist = rdw(wheel_dist, 0.95 * C.WHEEL_DIST,
+                                 1.05 * C.WHEEL_DIST, 2)
+                dr_rows[DR_FOV] = rdw(dr_rows[DR_FOV], C.CAMERA_FOV_Y - 5.0,
+                                      C.CAMERA_FOV_Y + 5.0, 3)
+                dr_rows[DR_CAMH] = rdw(
+                    dr_rows[DR_CAMH], 0.92 * C.CAMERA_FLOOR_DIST,
+                    1.08 * C.CAMERA_FLOOR_DIST, 4)
+                dr_rows[DR_CAMA] = rdw(dr_rows[DR_CAMA], C.CAMERA_ANGLE - 3.0,
+                                       C.CAMERA_ANGLE + 3.0, 5)
+                dr_rows[DR_CAMF] = rdw(
+                    dr_rows[DR_CAMF], 0.9 * C.CAMERA_FORWARD_DIST,
+                    1.1 * C.CAMERA_FORWARD_DIST, 6)
+                lx_n = -1.0 + 0.8 * _u01(7)
+                lz_n = -1.0 + 0.8 * _u01(8)
+                linv = jax.lax.rsqrt(lx_n * lx_n + 1.0 + lz_n * lz_n)
+                dr_rows[DR_LX] = jnp.where(done, lx_n * linv,
+                                           dr_rows[DR_LX])
+                dr_rows[DR_LY] = jnp.where(done, -linv, dr_rows[DR_LY])
+                dr_rows[DR_LZ] = jnp.where(done, lz_n * linv,
+                                           dr_rows[DR_LZ])
+                dr_rows[DR_AMB] = rdw(dr_rows[DR_AMB], 0.35, 0.7, 9)
+                from dtown.randomization import (
+                    NOMINAL_GROUND_COLOR as NGC,
+                    NOMINAL_HORIZON_COLOR as NHC,
+                )
+
+                for ci, dri in enumerate((DR_GR, DR_GG, DR_GB)):
+                    g0 = float(NGC[ci])
+                    dr_rows[dri] = jnp.clip(
+                        rdw(dr_rows[dri], g0 - 0.08, g0 + 0.08, 10 + ci),
+                        0.0, 1.0)
+                for ci, dri in enumerate((DR_HR, DR_HG, DR_HB)):
+                    h0 = float(NHC[ci])
+                    dr_rows[dri] = jnp.clip(
+                        rdw(dr_rows[dri], h0 - 0.2, h0 + 0.2, 13 + ci),
+                        0.0, 1.0)
+                fresh_seed = jnp.floor(_u01(16) * (1 << 23))
+                dr_rows[DR_TEXSEED] = jnp.where(done, fresh_seed,
+                                                dr_rows[DR_TEXSEED])
+                vis = jnp.zeros_like(pos_x)
+                for kbit in range(len(opt_cols)):
+                    vis = vis + jnp.where(
+                        _u01(17 + kbit) < 0.5, float(1 << kbit), 0.0
+                    )
+                dr_rows[DR_OBJVIS] = jnp.where(done, vis,
+                                               dr_rows[DR_OBJVIS])
         rng_ctr = rng_ctr + 1.0
 
         # ---- write back ----------------------------------------------
@@ -417,7 +699,13 @@ def make_state_kernel(cfg, Hg, Wg, n_words, M, n_spawn_ok, bb=None):
             collided.astype(f32), step_cnt * dt, env_id,
             o_ldist, o_ldot, o_ldeg, o_inlane,
         ]
-        while len(rows) < NF:
+        for i in range(len(npcs)):
+            rows.extend([npc_xs[i], npc_zs[i], npc_as[i], npc_walks[i],
+                         npc_vels[i]])
+        if domain_rand:
+            rows.extend(dr_rows)
+        nf_total = nf_for(len(npcs), domain_rand)
+        while len(rows) < nf_total:
             rows.append(z)
         out_ref[:, :] = jnp.concatenate(rows, axis=0)
 
@@ -498,6 +786,29 @@ def build_tables(cfg, maps):
     bank[BK_Y] = sp[:, 1]
     bank[BK_Z] = sp[:, 2]
     bank[BK_ANG] = sa
+    # start-pose overrides pin every (re)spawn to the configured pose
+    # (reference: user_tile_start / start pose skip the sampling loop)
+    if cfg.start_pose is not None:
+        x0, z0, a0 = cfg.start_pose
+        sp = np.tile([[x0, 0.0, z0]], (BANK_K, 1))
+        sa = np.full((BANK_K,), float(a0))
+        bank[BK_X], bank[BK_Y], bank[BK_Z] = x0, 0.0, z0
+        bank[BK_ANG] = float(a0)
+    elif cfg.user_tile_start is not None:
+        from dtown.spawn_bank import _bezier_closest, _bezier_tangents
+
+        i0, j0 = cfg.user_tile_start
+        ts = float(maps.tile_size)
+        cx, cz = (i0 + 0.5) * ts, (j0 + 0.5) * ts
+        cps0 = np.asarray(maps.curves, np.float64)[j0, i0, 0][None]
+        t0 = _bezier_closest(cps0, np.array([[cx, 0.0, cz]]))
+        tan0 = _bezier_tangents(cps0, t0)[0]
+        a0 = float(np.arctan2(-tan0[2], tan0[0]))
+        sp = np.tile([[cx, 0.0, cz]], (BANK_K, 1))
+        sa = np.full((BANK_K,), a0)
+        bank[BK_X], bank[BK_Y], bank[BK_Z] = cx, 0.0, cz
+        bank[BK_ANG] = a0
+
     # precomputed lane features per spawn pose (exact post-reset obs rows)
     from dtown.spawn_bank import lane_features_np
 
@@ -514,10 +825,25 @@ def build_tables(cfg, maps):
     n_ok = int((np.abs(sd) < cfg.accept_start_angle_deg).sum())
     n_ok = max(n_ok, 1)
 
+    # moving NPCs: their static table entries are stale; the kernel
+    # overrides those columns with live poses from the blob NPC rows
+    npcs = tuple(moving_npcs(maps))
+    slot_to_npc = {npc["slot"]: i for i, npc in enumerate(npcs)}
+    cols = np.nonzero(np.asarray(maps.obj_mask))[0]
+    moving_cols = tuple(
+        (int(c), slot_to_npc[int(s)])
+        for c, s in enumerate(cols) if int(s) in slot_to_npc
+    )
+    optional = np.asarray(maps.obj_optional)
+    opt_cols = tuple(
+        int(c) for c, s in enumerate(cols) if bool(optional[int(s)])
+    )
+
     return dict(
         ct=ct, words=words_padded, ot=ot, bank=bank, n_ok=n_ok,
         n_words=n_words, M=M, Hg=Hg, Wg=Wg,
         ts_inv=np.float32(1.0 / float(maps.tile_size)),
+        npcs=npcs, moving_cols=moving_cols, opt_cols=opt_cols,
     )
 
 
@@ -541,12 +867,20 @@ def state_step_pallas(cfg, maps, blob, actions, tables=None,
     while B % bb != 0 or bb > B:
         bb //= 2
 
-    blob = blob.at[F_ACT0, :].set(actions[:, 0])
-    blob = blob.at[F_ACT1, :].set(actions[:, 1])
+    # actions ride a separate tiny input (8 sublanes min) instead of
+    # being written into the carried blob: the row build is then
+    # loop-invariant under scan when actions are constant, and the
+    # donated blob is never copied for an input-side update
+    act_rows = jnp.zeros((8, B), jnp.float32)
+    act_rows = act_rows.at[0].set(actions[:, 0])
+    act_rows = act_rows.at[1].set(actions[:, 1])
 
     kern = make_state_kernel(
         cfg, tables["Hg"], tables["Wg"], tables["n_words"], tables["M"],
         tables["n_ok"], bb=bb,
+        npcs=tables.get("npcs", ()),
+        moving_cols=tables.get("moving_cols", ()),
+        opt_cols=tables.get("opt_cols", ()),
     )
     ct = jnp.asarray(tables["ct"])
     words = jnp.asarray(tables["words"])
@@ -554,13 +888,17 @@ def state_step_pallas(cfg, maps, blob, actions, tables=None,
     bank = jnp.asarray(tables["bank"])
     tsv = jnp.full((1, 1), tables["ts_inv"], jnp.float32)
 
+    nf_total = nf_for(len(tables.get("npcs", ())), bool(cfg.domain_rand))
+    assert blob.shape[0] == nf_total, (blob.shape, nf_total)
     grid = (B // bb,)
     out = pl.pallas_call(
         kern,
-        out_shape=jax.ShapeDtypeStruct((NF, B), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((nf_total, B), jnp.float32),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((NF, bb), lambda b: (0, b),
+            pl.BlockSpec((nf_total, bb), lambda b: (0, b),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, bb), lambda b: (0, b),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(words.shape, lambda b: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -573,8 +911,8 @@ def state_step_pallas(cfg, maps, blob, actions, tables=None,
             pl.BlockSpec((1, 1), lambda b: (0, 0),
                          memory_space=pltpu.SMEM),
         ],
-        out_specs=pl.BlockSpec((NF, bb), lambda b: (0, b),
+        out_specs=pl.BlockSpec((nf_total, bb), lambda b: (0, b),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(blob, words, ct, ot, bank, tsv)
+    )(blob, act_rows, words, ct, ot, bank, tsv)
     return out

@@ -17,10 +17,25 @@ from dtown import constants as C
 N_TEX_VARIANTS = 4  # numbered texture variants per base texture
                     # (reference: graphics.py::Texture.get random variant)
 
-# Nominal (no-randomization) values
-NOMINAL_GROUND_COLOR = jnp.array([0.15, 0.15, 0.15])
-NOMINAL_HORIZON_COLOR = jnp.array([0.45, 0.62, 0.93])  # blue_sky
-NOMINAL_LIGHT_DIR = jnp.array([-0.35, -0.82, -0.45])
+
+def variant_hash(tile_id, seed):
+    """Per-tile texture-variant pick as an integer hash of (tile, seed).
+
+    Used identically by the XLA reset (below) and the fused render
+    kernel (render/blob_raster.py), so both paths see the same variant
+    field for the same seed. Plain int32 jnp ops — kernel-safe.
+    """
+    h = (tile_id * 73856093 + seed * 19349663 + 5189) & 0x7FFFFFFF
+    h = ((h ^ (h >> 13)) * 1274126177) & 0x7FFFFFFF
+    return (h ^ (h >> 16)) & (N_TEX_VARIANTS - 1)
+
+# Nominal (no-randomization) values — numpy on purpose: module-level jnp
+# constants can leak as tracers when first materialized inside a trace
+import numpy as _np
+
+NOMINAL_GROUND_COLOR = _np.array([0.15, 0.15, 0.15], dtype=_np.float32)
+NOMINAL_HORIZON_COLOR = _np.array([0.45, 0.62, 0.93], dtype=_np.float32)  # blue_sky
+NOMINAL_LIGHT_DIR = _np.array([-0.35, -0.82, -0.45], dtype=_np.float32)
 NOMINAL_AMBIENT = 0.55
 
 
@@ -67,9 +82,11 @@ def draw(cfg, key, grid_shape, n_objects):
             0.0,
             1.0,
         )
-        tex_variant = jax.random.randint(
-            ks[10], (H, W), 0, N_TEX_VARIANTS, dtype=jnp.int32
+        tex_seed = jax.random.randint(
+            ks[10], (), 0, 1 << 23, dtype=jnp.int32
         )
+        tile_ids = jnp.arange(H * W, dtype=jnp.int32).reshape(H, W)
+        tex_variant = variant_hash(tile_ids, tex_seed)
         obj_visible = jax.random.bernoulli(ks[11], 0.5, (n_objects,))
     else:
         f32 = jnp.float32
@@ -83,6 +100,7 @@ def draw(cfg, key, grid_shape, n_objects):
         light_ambient = jnp.asarray(NOMINAL_AMBIENT, f32)
         ground_color = NOMINAL_GROUND_COLOR
         horizon_color = NOMINAL_HORIZON_COLOR
+        tex_seed = jnp.zeros((), dtype=jnp.int32)
         tex_variant = jnp.zeros((H, W), dtype=jnp.int32)
         obj_visible = jnp.ones((n_objects,), dtype=bool)
 
@@ -93,10 +111,11 @@ def draw(cfg, key, grid_shape, n_objects):
         cam_angle=jnp.float32(cam_angle),
         cam_fwd_dist=jnp.float32(cam_fwd_dist),
         wheel_dist=jnp.float32(wheel_dist),
-        light_dir=light_dir.astype(jnp.float32),
+        light_dir=jnp.asarray(light_dir, jnp.float32),
         light_ambient=jnp.float32(light_ambient),
-        ground_color=ground_color.astype(jnp.float32),
-        horizon_color=horizon_color.astype(jnp.float32),
+        ground_color=jnp.asarray(ground_color, jnp.float32),
+        horizon_color=jnp.asarray(horizon_color, jnp.float32),
+        tex_seed=tex_seed,
         tex_variant=tex_variant,
         obj_visible=obj_visible,
     )

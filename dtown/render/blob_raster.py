@@ -46,7 +46,12 @@ from dtown.ops import state_kernel as sk
 from dtown.render import meshes as meshlib
 from dtown.render.pallas_raster import LANE_N, _shade_pixels
 
-EPB = 4  # envs per kernel program
+# Envs per kernel program. The blob reaches the kernel TRANSPOSED as
+# [B, NF] rows (the TPU block rule requires the trailing block dim to
+# equal the array dim or divide 128, so [NF, epb] columns of the native
+# [NF, B] blob are not addressable); a (EPB, NF) block then needs
+# EPB % 8 == 0.
+EPB = 8
 
 
 def _scalar_sincos(x):
@@ -67,17 +72,19 @@ def build_render_plan(cfg, maps):
         obj_mask = np.asarray(maps.obj_mask)
     except Exception:
         return None  # traced / stacked multimap
-    if cfg.domain_rand or cfg.distortion:
+    if cfg.distortion:
         return None
     kinds = np.asarray(maps.obj_kind)
-    dyn = np.asarray(maps.obj_is_dynamic)
-    tl_id = T.OBJ_KIND_IDS["trafficlight"]
-    if (obj_mask & dyn & (kinds != tl_id)).any():
-        return None  # moving NPCs: poses change per step
     if not cfg.render_objects:
         obj_mask = np.zeros_like(obj_mask)
     if int(obj_mask.sum()) > 24:
         return None  # straight-line cost too high; dynamic top-K path
+    # moving NPCs are supported: geometry baked per slot, pose read from
+    # the blob NPC rows in-kernel
+    npcs = sk.moving_npcs(maps)
+    slot_to_npc = {npc["slot"]: i for i, npc in enumerate(npcs)}
+    if len(npcs) > 8:
+        return None
 
     # --- static scene constants ---------------------------------------
     from dtown.randomization import (
@@ -139,17 +146,36 @@ def build_render_plan(cfg, maps):
                 color=tuple(float(x) for x in tables["color"][k, p]),
                 lamp=bool(tables["phase"][k, p]),
             ))
+        npc_idx = slot_to_npc.get(int(m))
         objs.append(dict(
             pos=tuple(float(x) for x in pos[m]),
             s_r=s_r, c_r=c_r, inv_s=1.0 / max(sc, 1e-6), scale=sc,
             l_model=(float(lmx), float(lmy), float(lmz)),
             prims=prims,
+            npc_idx=npc_idx,
+            wiggle=(npc_idx is not None
+                    and k == T.OBJ_KIND_IDS["duckie"]),
+            slot=int(m),
         ))
+    # optional-object visibility bit index per object (must match the
+    # state kernel's opt_cols bit order: optional objects in
+    # mask-column order over the FULL object mask)
+    optional = np.asarray(maps.obj_optional)
+    opt_bit = {}
+    kbit = 0
+    for s in np.nonzero(np.asarray(maps.obj_mask))[0]:
+        if bool(optional[int(s)]):
+            opt_bit[int(s)] = kbit
+            kbit += 1
+    for ob in objs:
+        ob["opt_bit"] = opt_bit.get(ob["slot"])
 
     from dtown.objects import TRAFFICLIGHT_PERIOD
 
     Hg, Wg = maps.grid_shape
     return dict(
+        domain_rand=bool(cfg.domain_rand),
+        n_npc=len(npcs),
         Hg=int(Hg), Wg=int(Wg), n_words=n_words, words=words,
         present=present, ts_inv=1.0 / float(maps.tile_size),
         tan_half=tan_half, sin_pitch=math.sin(pitch),
@@ -187,34 +213,76 @@ def _make_blob_kernel(H, W, plan, epb):
     dt = plan["dt"]
     tl_period = plan["tl_period"]
 
+    dr = plan["domain_rand"]
+    drb = sk.dr_base(plan["n_npc"])
+    deg = math.pi / 180.0
+
     def kernel(blob_ref, out_ref):
+        # blob_ref: transposed blob rows [epb, NF]
         f32 = jnp.float32
         yy = jax.lax.broadcasted_iota(jnp.int32, (S, LANE_N), 0)
         ll = jax.lax.broadcasted_iota(jnp.int32, (S, LANE_N), 1)
         p = yy * LANE_N + ll
         y = p // W
         x = p - y * W
-        # ndc ray factors (static over envs)
-        xn = ((x.astype(f32) + 0.5) * (1.0 / W) - 0.5) * (2.0 * tanx_c)
-        yn = (0.5 - (y.astype(f32) + 0.5) * (1.0 / H)) * (2.0 * tany_c)
+        # ndc ray factors before the fov scale (static over envs)
+        xn_b = ((x.astype(f32) + 0.5) * (1.0 / W) - 0.5) * 2.0
+        yn_b = (0.5 - (y.astype(f32) + 0.5) * (1.0 / H)) * 2.0
 
         for e in range(epb):
-            px_s = blob_ref[sk.F_POS_X, e]
-            py_s = blob_ref[sk.F_POS_Y, e]
-            pz_s = blob_ref[sk.F_POS_Z, e]
-            ang_s = blob_ref[sk.F_ANGLE, e]
-            step_s = blob_ref[sk.F_STEP, e]
+            px_s = blob_ref[e, sk.F_POS_X]
+            py_s = blob_ref[e, sk.F_POS_Y]
+            pz_s = blob_ref[e, sk.F_POS_Z]
+            ang_s = blob_ref[e, sk.F_ANGLE]
+            step_s = blob_ref[e, sk.F_STEP]
 
+            if dr:
+                # per-env randomization scalars from the DR blob rows
+                s_h, c_h = _scalar_sincos(
+                    0.5 * blob_ref[e, drb + sk.DR_FOV] * deg
+                )
+                tany_e = s_h / c_h
+                tanx_e = tany_e * aspect
+                sp_e, cp_e = _scalar_sincos(
+                    blob_ref[e, drb + sk.DR_CAMA] * deg
+                )
+                camh_e = blob_ref[e, drb + sk.DR_CAMH]
+                camf_e = blob_ref[e, drb + sk.DR_CAMF]
+                lwx_e = blob_ref[e, drb + sk.DR_LX]
+                lwy_e = blob_ref[e, drb + sk.DR_LY]
+                lwz_e = blob_ref[e, drb + sk.DR_LZ]
+                amb_e = blob_ref[e, drb + sk.DR_AMB]
+                kd_e = 1.0 - amb_e
+                shade_e = amb_e + kd_e * jnp.maximum(0.0, -lwy_e)
+                gr_e = blob_ref[e, drb + sk.DR_GR]
+                gg_e = blob_ref[e, drb + sk.DR_GG]
+                gb_e = blob_ref[e, drb + sk.DR_GB]
+                hr_e = blob_ref[e, drb + sk.DR_HR]
+                hg_e = blob_ref[e, drb + sk.DR_HG]
+                hb_e = blob_ref[e, drb + sk.DR_HB]
+                seed_e = blob_ref[e, drb + sk.DR_TEXSEED].astype(jnp.int32)
+                visrow_e = blob_ref[e, drb + sk.DR_OBJVIS]
+            else:
+                tanx_e, tany_e = tanx_c, tany_c
+                sp_e, cp_e = sp, cp
+                camh_e, camf_e = plan["cam_height"], plan["cam_fwd"]
+                lwx_e, lwy_e, lwz_e = plan["light"]
+                amb_e, kd_e, shade_e = amb, k_diff, shade
+                gr_e, gg_e, gb_e = gr, gg, gb
+                hr_e, hg_e, hb_e = hr, hg, hb
+
+            xn = xn_b * tanx_e
+            yn = yn_b * tany_e
             s_a, c_a = _scalar_sincos(ang_s)
             # camera basis (prepare_camera_row, scalar form):
             # fwd_flat=(c,-0,-s); right=(s,0,c); forward=cp*fwd_flat-sp*up;
             # up_v=cp*up+sp*fwd_flat
-            fwd_x, fwd_y, fwd_z = cp * c_a, -sp, -cp * s_a
-            up_x, up_y, up_z = sp * c_a, cp, -sp * s_a
+            fwd_x, fwd_y, fwd_z = cp_e * c_a, -sp_e, -cp_e * s_a
+            up_x, up_y, up_z = sp_e * c_a, cp_e, -sp_e * s_a
             r_x, r_z = s_a, c_a
-            eye0 = px_s + plan["cam_fwd"] * c_a
-            eye1 = py_s + plan["cam_height"]
-            eye2 = pz_s + plan["cam_fwd"] * (-s_a)
+            eye0 = px_s + camf_e * c_a
+            eye1 = py_s + camh_e
+            eye2 = pz_s + camf_e * (-s_a)
 
             dx = fwd_x + xn * r_x + yn * up_x
             dy = fwd_y + yn * up_y
@@ -246,17 +314,24 @@ def _make_blob_kernel(H, W, plan, epb):
             byte = (word >> ((tid & 3) * 8)) & 0xFF
             kind = byte & 0xF
             angle_idx = (byte >> 4) & 0x3
-            variant = (byte >> 6) & 0x3
+            if dr:
+                # per-env texture variant re-pick, shared hash with the
+                # XLA reset (randomization.variant_hash)
+                from dtown.randomization import variant_hash
 
+                variant = variant_hash(tid, seed_e)
+            else:
+                # compile-time variant 0: variant math folds to constants
+                variant = 0
             r_, g_, b_ = _shade_pixels(kind, angle_idx, variant, fx - ti,
                                        fz - tj, present=present)
-            r_ = jnp.where(in_grid, r_, gr) * shade
-            g_ = jnp.where(in_grid, g_, gg) * shade
-            b_ = jnp.where(in_grid, b_, gb) * shade
+            r_ = jnp.where(in_grid, r_, gr_e) * shade_e
+            g_ = jnp.where(in_grid, g_, gg_e) * shade_e
+            b_ = jnp.where(in_grid, b_, gb_e) * shade_e
             sky_f = 1.0 - 0.35 * jnp.maximum(0.0, dy)
-            r_ = jnp.where(hits_ground, r_, hr * sky_f)
-            g_ = jnp.where(hits_ground, g_, hg * sky_f)
-            b_ = jnp.where(hits_ground, b_, hb * sky_f)
+            r_ = jnp.where(hits_ground, r_, hr_e * sky_f)
+            g_ = jnp.where(hits_ground, g_, hg_e * sky_f)
+            b_ = jnp.where(hits_ground, b_, hb_e * sky_f)
 
             t_best = jnp.where(hits_ground, t_g, jnp.float32(1e30))
             if plan["objs"]:
@@ -267,14 +342,48 @@ def _make_blob_kernel(H, W, plan, epb):
                                         ).astype(jnp.int32) % 2
 
             for ob in plan["objs"]:
-                ox, oy, oz = ob["pos"]
-                s_r, c_r = ob["s_r"], ob["c_r"]
                 inv_s, sc = ob["inv_s"], ob["scale"]
-                lmx, lmy, lmz = ob["l_model"]
+                if ob["npc_idx"] is not None:
+                    # moving NPC: pose scalars from the blob NPC rows
+                    nbase = sk.F_NPC_BASE + sk.NPC_ROWS * ob["npc_idx"]
+                    ox = blob_ref[e, nbase + 0]
+                    oz = blob_ref[e, nbase + 1]
+                    oy = ob["pos"][1]
+                    a_npc = blob_ref[e, nbase + 2]
+                    if ob["wiggle"]:
+                        # duckie gait wiggle (objects.py::render_angles)
+                        from dtown.objects import (
+                            DUCKIE_WIGGLE, DUCKIE_WIGGLE_FREQ,
+                        )
+
+                        a_npc = a_npc + DUCKIE_WIGGLE * _scalar_sincos(
+                            DUCKIE_WIGGLE_FREQ * t_env
+                        )[0]
+                    s_r, c_r = _scalar_sincos(-a_npc)
+                    lmx = lwx_e * c_r + lwz_e * s_r
+                    lmy = lwy_e
+                    lmz = lwz_e * c_r - lwx_e * s_r
+                else:
+                    ox, oy, oz = ob["pos"]
+                    s_r, c_r = ob["s_r"], ob["c_r"]
+                    if dr:
+                        # light is per-env: rotate into model space here
+                        lmx = lwx_e * c_r + lwz_e * s_r
+                        lmy = lwy_e
+                        lmz = lwz_e * c_r - lwx_e * s_r
+                    else:
+                        lmx, lmy, lmz = ob["l_model"]
                 # scalar distance cull (env-level; sub-pixel beyond cull)
                 dxo = ox - eye0
                 dzo = oz - eye2
                 act = (dxo * dxo + dzo * dzo) < cull2
+                if dr and ob["opt_bit"] is not None:
+                    # optional-object visibility bit for this env
+                    kbit = ob["opt_bit"]
+                    bit = jnp.floor(
+                        visrow_e * (1.0 / (1 << kbit))
+                    ).astype(jnp.int32) & 1
+                    act = act & (bit > 0)
                 ex = (eye0 - ox) * inv_s
                 ey = (eye1 - oy) * inv_s
                 ez = (eye2 - oz) * inv_s
@@ -353,7 +462,7 @@ def _make_blob_kernel(H, W, plan, epb):
                             -(hx * (lmx * ip0) + hy * (lmy * ip0)
                               + hz * (lmz * ip0)),
                         )
-                    sh = amb + k_diff * diff
+                    sh = amb_e + kd_e * diff
                     if pr_["lamp"]:
                         green = phase_green > 0
                         cr_l = jnp.where(green, 0.1, 0.9)
@@ -393,10 +502,13 @@ def render_frames_from_blob(cfg, maps, blob, plan, epb=None,
     HW = H * W
     assert HW % LANE_N == 0, (H, W)
     S = HW // LANE_N
-    B = blob.shape[1]
-    epb = epb or EPB
-    while B % epb != 0:
-        epb //= 2
+    import os
+
+    nf, B = blob.shape
+    epb = epb or int(os.environ.get("DTOWN_EPB", "0")) or EPB
+    if B % epb != 0:
+        epb = 8
+    assert B % epb == 0 and epb % 8 == 0, (B, epb)
     kernel = _make_blob_kernel(H, W, plan, epb)
     grid = (B // epb,)
     return pl.pallas_call(
@@ -404,11 +516,11 @@ def render_frames_from_blob(cfg, maps, blob, plan, epb=None,
         out_shape=jax.ShapeDtypeStruct((B, 3, S, LANE_N), jnp.uint8),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((sk.NF, epb), lambda b: (0, b),
+            pl.BlockSpec((epb, nf), lambda b: (b, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((epb, 3, S, LANE_N),
                                lambda b: (b, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(blob)
+    )(blob.T)

@@ -69,6 +69,9 @@ def _shade_pixels(kind, angle_idx, variant, u, v, present=None):
     present: optional set of tile-kind ids present in the map — marking
     math for absent kinds is statically dropped (the map is a compile-time
     constant of the kernel).
+    variant may be a python int (texture variant fixed at compile time —
+    the no-domain-rand fast path always uses variant 0): the per-pixel
+    variant extraction and brightness scale then fold into constants.
     """
     f32 = jnp.float32
     if present is None:
@@ -176,7 +179,10 @@ def _shade_pixels(kind, angle_idx, variant, u, v, present=None):
     h = h ^ (h >> 16)
     n = (h & 0xFFFF).astype(f32) / 32768.0 - 1.0
     amp = jnp.where(is_grass, 0.03, jnp.where(is_road, NOISE_AMP, 0.015))
-    bright = 0.94 + 0.04 * variant.astype(f32)
+    if isinstance(variant, int):
+        bright = 0.94 + 0.04 * variant
+    else:
+        bright = 0.94 + 0.04 * variant.astype(f32)
     noise = amp * n
     r_ = jnp.clip(r_ * bright + noise, 0.0, 1.0)
     g_ = jnp.clip(g_ * bright + noise, 0.0, 1.0)
@@ -436,11 +442,13 @@ def prepare_object_blocks(cfg, maps, state, eye):
     score = jnp.where(active, -dist, -jnp.inf)
     _, top = jax.lax.top_k(score, Kvis)
 
+    from dtown.objects import render_angles
+
     oh = (top[:, None] == jnp.arange(maps.max_objects)[None, :]).astype(
         jnp.float32
     )  # [K, M]
     pos = oh @ state.dyn.pos
-    ang = oh @ state.dyn.angle
+    ang = oh @ render_angles(maps, state.dyn)
     scale = oh @ maps.obj_scale
     kind = oh @ maps.obj_kind.astype(jnp.float32)
     act = oh @ active.astype(jnp.float32)

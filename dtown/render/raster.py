@@ -205,10 +205,14 @@ def _render_objects(cfg, maps, state, rays, eye, rgb, t_bg):
     score = jnp.where(active, -dist, -jnp.inf)
     _, top_idx = jax.lax.top_k(score, Kvis)
 
+    from dtown.objects import render_angles
+
+    draw_angle = render_angles(maps, state.dyn)
+
     def body(rgb, t_best, m):
         ok = active[m]
         opos = state.dyn.pos[m]
-        oang = state.dyn.angle[m]
+        oang = draw_angle[m]
         oscale = maps.obj_scale[m]
         okind = maps.obj_kind[m]
         ophase = state.dyn.phase[m]
@@ -258,10 +262,74 @@ def _render_objects(cfg, maps, state, rays, eye, rgb, t_bg):
     return rgb, t_bg
 
 
+def _overlay_curves(cfg, maps, rgb, rays, eye, t_bg):
+    """draw_curve debug overlay: paint ground pixels near the lane bezier
+    of their tile red/blue (reference: Simulator draw_curve flag draws the
+    tile's bezier as a GL line strip; here the same curves are marked on
+    the ground plane)."""
+    from dtown.geometry import bezier_closest, bezier_point
+
+    hit = jnp.isfinite(t_bg)
+    px = eye[0] + jnp.where(hit, t_bg, 0.0) * rays[..., 0]
+    pz = eye[2] + jnp.where(hit, t_bg, 0.0) * rays[..., 2]
+    ts = maps.tile_size
+    Hg, Wg = maps.grid_shape
+    i = jnp.clip(jnp.floor(px / ts).astype(jnp.int32), 0, Wg - 1)
+    j = jnp.clip(jnp.floor(pz / ts).astype(jnp.int32), 0, Hg - 1)
+    curves = maps.curves[j, i]          # [H, W, C, 4, 3]
+    cmask = maps.curve_mask[j, i]       # [H, W, C]
+    p = jnp.stack([px, jnp.zeros_like(px), pz], axis=-1)
+    pc = jnp.broadcast_to(p[..., None, :], curves.shape[:-2] + (3,))
+    t = bezier_closest(curves, pc)
+    near = bezier_point(curves, t)
+    d2 = jnp.sum((near - pc) ** 2, axis=-1)
+    d2 = jnp.where(cmask, d2, jnp.inf)
+    on_curve = hit & (jnp.min(d2, axis=-1) < (0.01) ** 2)
+    red = jnp.array([0.9, 0.1, 0.1], dtype=rgb.dtype)
+    return jnp.where(on_curve[..., None], red, rgb)
+
+
+def _overlay_bboxes(cfg, maps, state, rgb, rays, eye, t_bg):
+    """draw_bbox debug overlay: object footprint rectangles traced on the
+    ground (reference: Simulator draw_bbox flag)."""
+    from dtown.env import active_objects
+
+    hit = jnp.isfinite(t_bg)
+    px = eye[0] + jnp.where(hit, t_bg, 0.0) * rays[..., 0]
+    pz = eye[2] + jnp.where(hit, t_bg, 0.0) * rays[..., 2]
+    from dtown.objects import dynamic_corners
+
+    corners, _ = dynamic_corners(maps, state.dyn)   # [M, 4, 2]
+    active = active_objects(maps, state)
+    on_edge = jnp.zeros_like(hit)
+    M = corners.shape[0]
+    for m in range(M):
+        for a in range(4):
+            c0 = corners[m, a]
+            c1 = corners[m, (a + 1) % 4]
+            e = c1 - c0
+            L2 = jnp.maximum(jnp.sum(e * e), 1e-12)
+            tt = jnp.clip(
+                ((px - c0[0]) * e[0] + (pz - c0[1]) * e[1]) / L2, 0.0, 1.0
+            )
+            dx = px - (c0[0] + tt * e[0])
+            dz = pz - (c0[1] + tt * e[1])
+            on_edge = on_edge | (
+                active[m] & (dx * dx + dz * dz < 0.008 ** 2)
+            )
+    on_edge = on_edge & hit
+    red = jnp.array([1.0, 0.0, 0.0], dtype=rgb.dtype)
+    return jnp.where(on_edge[..., None], red, rgb)
+
+
 def render_frame(cfg, maps, state):
     """Render one env's camera observation -> uint8 [H, W, C]."""
     rays, eye = camera_rays(cfg, state)
     rgb, t_bg = _ground_color(cfg, maps, state, rays, eye)
+    if cfg.draw_curve:
+        rgb = _overlay_curves(cfg, maps, rgb, rays, eye, t_bg)
+    if cfg.draw_bbox:
+        rgb = _overlay_bboxes(cfg, maps, state, rgb, rays, eye, t_bg)
     if cfg.render_objects:
         rgb, t_bg = _render_objects(cfg, maps, state, rays, eye, rgb, t_bg)
     if cfg.distortion:

@@ -132,6 +132,22 @@ class EnvConfig:
     # the reference but far slower under vmapped auto-reset.
     spawn_mode: str = "bank"
     spawn_attempts: int = 32  # in-graph loop budget for "rejection" mode
+    # Start-pose overrides (reference: Simulator.__init__ kwargs
+    # user_tile_start + the fork's start-pose path — both skip the spawn
+    # sampling loop, SURVEY §3.4). user_tile_start: (i, j) tile coords;
+    # the agent starts at that tile's center heading along its lane.
+    # start_pose: (x, z, angle) exact world pose (takes precedence).
+    user_tile_start: tuple | None = None
+    start_pose: tuple | None = None
+
+    # Debug overlays (reference: Simulator draw_curve / draw_bbox flags,
+    # SURVEY §3.3) — ground-plane overlays in the XLA renderer.
+    draw_curve: bool = False
+    draw_bbox: bool = False
+
+    # Extended per-step info (reference: full_transparency kwarg —
+    # get_agent_info returns the full simulator state every step).
+    full_transparency: bool = False
 
     # Reward
     collision_termination: bool = True
@@ -256,7 +272,9 @@ class EnvState:
     light_ambient: Array # f32 []
     ground_color: Array  # f32 [3]
     horizon_color: Array # f32 [3]
+    tex_seed: Array      # int32 [] seed of the per-tile variant hash
     tex_variant: Array   # int32 [H, W] per-tile texture variant pick
+                         # (= variant_hash(tile_id, tex_seed))
     obj_visible: Array   # bool [M] optional-object visibility draw
 
     dyn: DynObjState     # dynamic object states

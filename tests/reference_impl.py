@@ -146,14 +146,22 @@ def actual_center(pos, angle):
     return pos + (CAMERA_FORWARD_DIST - 0.5 * ROBOT_LENGTH) * get_dir_vec(angle)
 
 
+class NotInLane(Exception):
+    """reference: simulator.py NotInLane — no curve agrees with heading."""
+
+
 def lane_pos(curves_for_tile, pos, angle):
     """simulator.py::closest_curve_point + ::get_lane_pos2 semantics.
 
     curves_for_tile: [n, 4, 3] baked world-space control points.
+    Raises NotInLane when no curve chord has positive dot with the
+    heading (SURVEY §3.2 dot>0 filter).
     """
     chords = curves_for_tile[:, -1, :] - curves_for_tile[:, 0, :]
     chords = chords / np.linalg.norm(chords, axis=-1, keepdims=True)
     dots = chords @ get_dir_vec(angle)
+    if len(dots) == 0 or float(np.max(dots)) <= 0.0:
+        raise NotInLane
     cps = curves_for_tile[int(np.argmax(dots))]
     t = bezier_closest(cps, pos)
     point = bezier_point(cps, t)
@@ -174,3 +182,27 @@ def compute_reward(speed, dot_dir, dist, col_penalty, in_lane):
     if in_lane:
         return 1.0 * speed * dot_dir - 10.0 * abs(dist) + 40.0 * col_penalty
     return 40.0 * col_penalty
+
+
+ROBOT_WIDTH = 0.13 + 0.02
+AGENT_SAFETY_RAD = 0.5 * max(ROBOT_LENGTH, ROBOT_WIDTH) * 1.8
+
+
+def proximity_penalty(pos, angle, static_centers, static_radii,
+                      dyn_centers, dyn_radii):
+    """simulator.py::_proximity_penalty2: safety-circle overlap score.
+
+    static objects: min over scores, clipped to <= 0; dynamic objects:
+    sum of per-object min(0, score). Distances from the agent's actual
+    center. Returns a value <= 0.
+    """
+    p = actual_center(np.asarray(pos, np.float64), angle)
+    static = 1e30
+    for c, r in zip(static_centers, static_radii):
+        d = float(np.linalg.norm(np.asarray(c, np.float64) - p))
+        static = min(static, d - AGENT_SAFETY_RAD - float(r))
+    total = min(0.0, static)
+    for c, r in zip(dyn_centers, dyn_radii):
+        d = float(np.linalg.norm(np.asarray(c, np.float64) - p))
+        total += min(0.0, d - AGENT_SAFETY_RAD - float(r))
+    return total

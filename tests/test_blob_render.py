@@ -20,17 +20,20 @@ from dtown.render.pallas_raster import planes_to_nhwc
 from dtown.types import EnvConfig
 
 
-@pytest.mark.parametrize("map_name", ["loop_obstacles", "small_loop", "4way"])
+@pytest.mark.parametrize(
+    "map_name",
+    ["loop_obstacles", "small_loop", "4way", "loop_pedestrians"],
+)
 def test_blob_render_matches_xla(map_name):
     cfg = EnvConfig(obs_type="rgb", camera_width=64, camera_height=64,
                     auto_reset=False)
     maps = map_loader.load_map(map_name)
     plan = build_render_plan(cfg, maps)
-    assert plan is not None, "static maps must be blob-render eligible"
+    assert plan is not None, "single-map scenes must be blob-render eligible"
     keys = jax.random.split(jax.random.PRNGKey(1), 8)
     idx = jnp.zeros((8,), jnp.int32)
     states = jax.vmap(lambda k, i: env_core.reset(cfg, maps, k, i))(keys, idx)
-    blob = pack_blob(states)
+    blob = pack_blob(states, maps)
 
     planes = render_frames_from_blob(cfg, maps, blob, plan, interpret=True)
     img_b = np.asarray(planes_to_nhwc(cfg, planes)).astype(int)
@@ -46,11 +49,11 @@ def test_blob_render_matches_xla(map_name):
 
 def test_blob_render_ineligible_cases():
     maps = map_loader.load_map("loop_obstacles")
+    # fisheye distortion applies after the kernel on the pallas_raster
+    # path; the blob path defers to it
     assert build_render_plan(
-        EnvConfig(obs_type="rgb", domain_rand=True), maps
+        EnvConfig(obs_type="rgb", distortion=True), maps
     ) is None
-    npc = map_loader.load_map("loop_pedestrians")
-    assert build_render_plan(EnvConfig(obs_type="rgb"), npc) is None
 
 
 def test_fused_step_uses_blob_renderer():

@@ -11,7 +11,11 @@ from dtown.ops.fused_env import make_fused_rollout, pack_blob
 from dtown.types import EnvConfig
 
 
-@pytest.mark.parametrize("map_name", ["loop_obstacles", "small_loop"])
+@pytest.mark.parametrize(
+    "map_name",
+    ["loop_obstacles", "small_loop", "loop_pedestrians",
+     "loop_dyn_duckiebots"],
+)
 def test_fused_step_matches_xla(map_name):
     cfg = EnvConfig(obs_type="state", auto_reset=True)
     maps = map_loader.load_map(map_name)
@@ -24,14 +28,27 @@ def test_fused_step_matches_xla(map_name):
     alive = np.ones(B, bool)
     f_step = jax.jit(lambda b, a: fused_step(b, states, a))
     x_step = jax.jit(lambda s, a: env_core.step_batch(cfg, maps, s, a))
+    has_bots = any(
+        n["kind"] == "duckiebot" for n in sk.moving_npcs(maps)
+    )
     for _ in range(4):
         b, out_f, obs_f = f_step(b, actions)
         xs, out_x = x_step(xs, actions)
-        alive &= ~np.asarray(out_x.done)
-        # identical done decisions everywhere
-        np.testing.assert_array_equal(
-            np.asarray(out_f.done), np.asarray(out_x.done)
-        )
+        done_f = np.asarray(out_f.done)
+        done_x = np.asarray(out_x.done)
+        if has_bots:
+            # scripted duckiebots run TWO chained lane queries per substep
+            # (closest point + follow point), amplifying f32 ulp
+            # differences between the kernel's polynomial trig and XLA
+            # into occasional borderline SAT flips; allow <=1% divergent
+            # done decisions and drop those envs from later comparisons.
+            assert (done_f != done_x)[alive].mean() <= 0.01
+            alive &= ~(done_f | done_x)
+        else:
+            # identical done decisions everywhere
+            np.testing.assert_array_equal(done_f, done_x)
+            alive &= ~done_x
+        del done_f, done_x
     pos_f = np.stack(
         [np.asarray(b[sk.F_POS_X]), np.asarray(b[sk.F_POS_Z])], -1
     )
@@ -45,6 +62,23 @@ def test_fused_step_matches_xla(map_name):
         np.asarray(out_f.lane_dist)[alive],
         np.asarray(out_x.lane_dist)[alive], atol=1e-5,
     )
+    # moving-NPC poses advanced in-kernel must track the XLA state
+    # machines (duckie walk / duckiebot lane following, objects.py)
+    for i, npc in enumerate(sk.moving_npcs(maps)):
+        base = sk.F_NPC_BASE + sk.NPC_ROWS * i
+        s = npc["slot"]
+        np.testing.assert_allclose(
+            np.asarray(b[base + 0])[alive],
+            np.asarray(xs.dyn.pos)[alive, s, 0], atol=2e-5,
+        )
+        np.testing.assert_allclose(
+            np.asarray(b[base + 1])[alive],
+            np.asarray(xs.dyn.pos)[alive, s, 2], atol=2e-5,
+        )
+        np.testing.assert_allclose(
+            np.asarray(b[base + 2])[alive],
+            np.asarray(xs.dyn.angle)[alive, s], atol=2e-5,
+        )
 
 
 def test_fused_rollout_runs_and_resets():
