@@ -31,6 +31,9 @@ class PPOConfig(NamedTuple):
     epochs: int = 2
     minibatches: int = 4
     max_grad_norm: float = 0.5
+    # Rewards are scaled before GAE/returns so the -1000 crash terminal
+    # doesn't dominate the value loss (metrics still report raw rewards).
+    reward_scale: float = 0.02
 
 
 class TrainState(NamedTuple):
@@ -129,7 +132,7 @@ def make_ppo(cfg, maps, num_envs: int, ppo: PPOConfig = PPOConfig(),
         def body(carry, t):
             gae, next_value = carry
             delta = (
-                t["reward"]
+                t["reward"] * ppo.reward_scale
                 + ppo.gamma * next_value * (1.0 - t["done"])
                 - t["value"]
             )
@@ -285,7 +288,8 @@ def _make_ppo_fused(cfg, maps, num_envs, ppo, net, tx):
         # GAE
         def body(carry, t):
             gae, next_value = carry
-            delta = (t["reward"] + ppo.gamma * next_value * (1 - t["done"])
+            delta = (t["reward"] * ppo.reward_scale
+                     + ppo.gamma * next_value * (1 - t["done"])
                      - t["value"])
             gae = delta + ppo.gamma * ppo.gae_lambda * (1 - t["done"]) * gae
             return (gae, t["value"]), gae

@@ -303,6 +303,12 @@ def make_fused_rollout(cfg: EnvConfig, maps, num_envs: int):
                 from dtown.render.blob_raster import render_frames_from_blob
 
                 obs = render_frames_from_blob(cfg, maps, blob, render_plan)
+                if cfg.distortion:
+                    from dtown.render.distortion import (
+                        apply_distortion_planes,
+                    )
+
+                    obs = apply_distortion_planes(cfg, obs)
                 return blob, out, obs
             from dtown.render.pallas_raster import render_frames_pallas
 

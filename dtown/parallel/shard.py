@@ -53,9 +53,13 @@ def make_sharded_env(cfg, maps, num_envs: int, mesh=None):
     return mesh, sharded_reset, sharded_step
 
 
-def make_sharded_ppo(cfg, maps, num_envs: int, ppo=None, mesh=None):
+def make_sharded_ppo(cfg, maps, num_envs: int, ppo=None, mesh=None,
+                     fused=False):
     """PPO train step partitioned with shard_map: env batch sharded over
-    'envs', params replicated, grads pmean'd over ICI."""
+    'envs', params replicated, grads pmean'd over ICI.
+
+    fused=True runs each shard's rollouts through the fused Pallas
+    kernels (blob-carried env state; learn/ppo._make_ppo_fused)."""
     from dtown.learn.ppo import PPOConfig, make_ppo
 
     mesh = mesh or make_mesh()
@@ -64,13 +68,18 @@ def make_sharded_ppo(cfg, maps, num_envs: int, ppo=None, mesh=None):
     per_dev = num_envs // n_dev
     ppo = ppo or PPOConfig()
 
-    init_local, train_step_local = make_ppo(cfg, maps, per_dev, ppo)
+    init_local, train_step_local = make_ppo(cfg, maps, per_dev, ppo,
+                                            fused=fused)
+
+    # fused TrainState.env_states is (blob [NF, B_local], obs [B_local,
+    # ...]): the blob's env axis is dim 1, so it needs its own spec
+    env_spec = (P(None, ENVS_AXIS), P(ENVS_AXIS)) if fused else P(ENVS_AXIS)
 
     @functools.partial(
         shard_map,
         mesh=mesh,
         in_specs=(P(ENVS_AXIS),),
-        out_specs=(P(), P(ENVS_AXIS), P()),
+        out_specs=(P(), env_spec, P()),
         check_rep=False,
     )
     def _sharded_init(keys):
@@ -90,8 +99,8 @@ def make_sharded_ppo(cfg, maps, num_envs: int, ppo=None, mesh=None):
     @functools.partial(
         shard_map,
         mesh=mesh,
-        in_specs=(P(), P(), P(ENVS_AXIS), P()),
-        out_specs=((P(), P(), P(ENVS_AXIS), P()), P()),
+        in_specs=(P(), P(), env_spec, P()),
+        out_specs=((P(), P(), env_spec, P()), P()),
         check_rep=False,
     )
     def _sharded_train_step(params, opt_state, env_states, key):

@@ -68,12 +68,12 @@ def build_render_plan(cfg, maps):
     (traffic lights allowed — pose static, lamp phase derived from the
     per-env step counter in-kernel).
     """
+    if maps.tile_kind.ndim != 2:
+        return None  # stacked multimap: per-env map tables not baked yet
     try:
         obj_mask = np.asarray(maps.obj_mask)
     except Exception:
-        return None  # traced / stacked multimap
-    if cfg.distortion:
-        return None
+        return None  # traced map arrays
     kinds = np.asarray(maps.obj_kind)
     if not cfg.render_objects:
         obj_mask = np.zeros_like(obj_mask)

@@ -21,6 +21,11 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import jax
 
+if "--cpu" in sys.argv:
+    # the ambient env pins jax_platforms=axon; env vars alone can't
+    # force CPU (see CLAUDE.md)
+    jax.config.update("jax_platforms", "cpu")
+
 from dtown import map_loader
 from dtown.learn.ppo import PPOConfig
 from dtown.parallel.mesh import make_mesh
@@ -43,10 +48,15 @@ def main():
     ap.add_argument("--fused", action="store_true",
                     help="single-host blob-carried rollouts through the "
                          "fused Pallas kernels")
+    ap.add_argument("--obs", default="rgb", choices=["rgb", "state"])
+    ap.add_argument("--log-every", type=int, default=5)
+    ap.add_argument("--lr", type=float, default=3e-4)
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the local CPU backend (handled at import)")
     args = ap.parse_args()
 
     cfg = EnvConfig(
-        obs_type="rgb", camera_width=args.size, camera_height=args.size,
+        obs_type=args.obs, camera_width=args.size, camera_height=args.size,
         domain_rand=args.domain_rand, renderer=args.renderer,
     )
     maps = (
@@ -59,7 +69,7 @@ def main():
     mesh = make_mesh()
     print(f"devices: {mesh.devices.size} x {jax.devices()[0].platform}")
 
-    ppo = PPOConfig(rollout_len=args.rollout)
+    ppo = PPOConfig(rollout_len=args.rollout, lr=args.lr)
     if args.fused:
         import functools
 
@@ -82,7 +92,7 @@ def main():
         with timer.phase("train", steps=steps_per_iter):
             ts, metrics = s_train(ts)
             metrics = {k: float(v) for k, v in metrics.items()}
-        if it % 5 == 0 or it == args.iters - 1:
+        if it % args.log_every == 0 or it == args.iters - 1:
             print(json.dumps({"iter": it, **{k: round(v, 4) for k, v in metrics.items()}}))
 
     print(timer.report())

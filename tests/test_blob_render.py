@@ -48,12 +48,31 @@ def test_blob_render_matches_xla(map_name):
 
 
 def test_blob_render_ineligible_cases():
-    maps = map_loader.load_map("loop_obstacles")
-    # fisheye distortion applies after the kernel on the pallas_raster
-    # path; the blob path defers to it
-    assert build_render_plan(
-        EnvConfig(obs_type="rgb", distortion=True), maps
-    ) is None
+    # stacked multimap arrays are not baked into the blob kernel yet
+    stacked = map_loader.stack_maps(["small_loop", "straight_road"])
+    assert build_render_plan(EnvConfig(obs_type="rgb"), stacked) is None
+
+
+def test_fused_distortion_blob_path():
+    """Fisheye distortion composes after the blob render kernel."""
+    from dtown.ops.fused_env import make_fused_rollout
+
+    cfg = EnvConfig(obs_type="rgb", camera_width=64, camera_height=64,
+                    distortion=True)
+    maps = map_loader.load_map("small_loop")
+    B = 8
+    init_blob, fused_step, _ = make_fused_rollout(cfg, maps, B)
+    blob, states = init_blob(jax.random.PRNGKey(0))
+    actions = jnp.zeros((B, 2), jnp.float32)
+    blob2, out, obs = jax.jit(fused_step)(blob, states, actions)
+    assert obs.dtype == jnp.uint8
+    # distorted output must differ from the undistorted render
+    cfg0 = EnvConfig(obs_type="rgb", camera_width=64, camera_height=64)
+    init0, step0, _ = make_fused_rollout(cfg0, maps, B)
+    blob0, states0 = init0(jax.random.PRNGKey(0))
+    blob02, out0, obs0 = jax.jit(step0)(blob0, states0, actions)
+    assert np.abs(np.asarray(obs).astype(int)
+                  - np.asarray(obs0).astype(int)).mean() > 1.0
 
 
 def test_fused_step_uses_blob_renderer():
