@@ -41,6 +41,7 @@ def pack_blob(states, maps=None, domain_rand=False) -> jnp.ndarray:
     rows = rows.at[sk.F_ROBOT_SPEED].set(states.robot_speed)
     rows = rows.at[sk.F_WHEEL_DIST].set(states.wheel_dist)
     rows = rows.at[sk.F_ENVID].set(jnp.arange(B, dtype=jnp.float32))
+    rows = rows.at[sk.F_MAPID].set(states.map_idx.astype(jnp.float32))
     for i, npc in enumerate(npcs):
         base = sk.F_NPC_BASE + sk.NPC_ROWS * i
         s = npc["slot"]
@@ -68,7 +69,7 @@ def pack_blob(states, maps=None, domain_rand=False) -> jnp.ndarray:
         rows = rows.at[drb + sk.DR_TEXSEED].set(
             states.tex_seed.astype(jnp.float32)
         )
-        if maps is not None:
+        if maps is not None and maps.tile_kind.ndim == 2:
             import numpy as np
 
             optional = np.asarray(maps.obj_optional)
@@ -287,7 +288,11 @@ def make_fused_rollout(cfg: EnvConfig, maps, num_envs: int):
 
     def init_blob(key):
         keys = jax.random.split(key, num_envs)
-        idx = jnp.zeros((num_envs,), jnp.int32)
+        if maps.tile_kind.ndim == 3:
+            idx = (jnp.arange(num_envs, dtype=jnp.int32)
+                   % maps.tile_kind.shape[0])
+        else:
+            idx = jnp.zeros((num_envs,), jnp.int32)
         states = jax.vmap(lambda k, i: env_core.reset(cfg, maps, k, i))(
             keys, idx
         )
@@ -310,12 +315,20 @@ def make_fused_rollout(cfg: EnvConfig, maps, num_envs: int):
 
                     obs = apply_distortion_planes(cfg, obs)
                 return blob, out, obs
-            from dtown.render.pallas_raster import render_frames_pallas
-
             states = update_states_from_blob(states_template, blob, maps,
                                              cfg.domain_rand)
-            planes = render_frames_pallas(cfg, maps, states)
-            obs = planes
+            if maps.tile_kind.ndim == 3:
+                # stacked multimap beyond the blob plan's budget: per-env
+                # XLA renderer (select_map gather inside render_obs)
+                obs = jax.vmap(
+                    lambda s: env_core.render_obs(cfg, maps, s)
+                )(states)
+            else:
+                from dtown.render.pallas_raster import (
+                    render_frames_pallas,
+                )
+
+                obs = render_frames_pallas(cfg, maps, states)
         else:
             # observation-side lane rows (F_OL*): on done steps these hold
             # the fresh spawn's lane features, matching the XLA path which

@@ -46,11 +46,13 @@ F_ENVID = 21
 # spawn bank carries precomputed lane features per entry (build_tables),
 # selected into these rows on done.
 F_OLDIST, F_OLDOT, F_OLDEG, F_OINLANE = 22, 23, 24, 25
+# per-env map index (stacked multimap support; constant 0 on single maps)
+F_MAPID = 26
 # moving-NPC state rows (walking duckies / scripted duckiebots): NPC i of
 # the map occupies rows F_NPC_BASE + 5*i .. +4 = (x, z, angle, walk, vel).
 # The blob height NF therefore depends on the map — use nf_for(n_npc);
 # the module constant NF is the no-NPC baseline kept for static maps.
-F_NPC_BASE = 26
+F_NPC_BASE = 27
 NPC_ROWS = 5
 NF = 32  # padded to a multiple of 8 sublanes (no-NPC, no-DR layout)
 
@@ -79,7 +81,12 @@ def moving_npcs(maps):
     reference: objects.py — DuckieObj (walking pedestrian) and
     DuckiebotObj (scripted lane follower); TrafficLightObj has a static
     pose (phase-only) and stays in the static object table.
+
+    Stacked multimaps return [] — the fused multimap path requires maps
+    without moving NPCs (make_fused_rollout guards this).
     """
+    if maps.tile_kind.ndim != 2:
+        return []
     mask = (
         np.asarray(maps.obj_mask)
         & np.asarray(maps.obj_is_dynamic)
@@ -155,7 +162,7 @@ def _hash_u32(a, b):
 
 
 def make_state_kernel(cfg, Hg, Wg, n_words, M, n_spawn_ok, bb=None,
-                      npcs=(), moving_cols=(), opt_cols=()):
+                      npcs=(), moving_cols=(), opt_cols=(), multi=None):
     """Kernel factory; all map/shape facts static.
 
     npcs: static tuple of moving-NPC descriptors (moving_npcs()); their
@@ -188,6 +195,13 @@ def make_state_kernel(cfg, Hg, Wg, n_words, M, n_spawn_ok, bb=None,
     drb = dr_base(len(npcs))
 
     T_tiles = Hg * Wg
+    # multimap: lookups offset by the env's map index (F_MAPID row)
+    n_maps = multi["n_maps"] if multi else 1
+    t_pad_m = multi["t_pad"] if multi else T_tiles
+    npw_m = multi["npw"] if multi else 0
+    T_lookup = n_maps * t_pad_m if multi else T_tiles
+    col_maps = multi["col_maps"] if multi else ()
+    n_ok_list = multi["n_ok_list"] if multi else ()
 
     def kernel(blob_ref, act_ref, words_ref, ct_ref, ot_ref, bank_ref,
                tsref, out_ref):
@@ -207,6 +221,8 @@ def make_state_kernel(cfg, Hg, Wg, n_words, M, n_spawn_ok, bb=None,
         step_cnt = row(F_STEP)
         rng_ctr = row(F_RNG)
         env_id = row(F_ENVID)
+        map_row = row(F_MAPID)
+        mi = map_row.astype(jnp.int32)
         if domain_rand:
             dr_rows = [row(drb + k) for k in range(DR_ROWS)]
 
@@ -282,6 +298,8 @@ def make_state_kernel(cfg, Hg, Wg, n_words, M, n_spawn_ok, bb=None,
             tid = jj * Wg + ii
             word = jnp.zeros_like(tid)
             widx = tid >> 2
+            if multi:
+                widx = mi * npw_m + widx
             for wi in range(n_words):
                 word = jnp.where(widx == wi, words_ref[0, wi], word)
             kind = (word >> ((tid & 3) * 8)) & 0xF
@@ -311,8 +329,10 @@ def make_state_kernel(cfg, Hg, Wg, n_words, M, n_spawn_ok, bb=None,
             bisection. Returns (point_x, point_z, tan_x, tan_z, best_dot,
             drivable)."""
             q_driv, tid_q, _ = drivable_at(qx, qz)
+            if multi:
+                tid_q = mi * t_pad_m + tid_q
             oh = (
-                jax.lax.broadcasted_iota(jnp.int32, (T_tiles, bb), 0)
+                jax.lax.broadcasted_iota(jnp.int32, (T_lookup, bb), 0)
                 == tid_q
             ).astype(f32)  # [T, BB]
             pkg = jax.lax.dot_general(
@@ -492,6 +512,9 @@ def make_state_kernel(cfg, Hg, Wg, n_words, M, n_spawn_ok, bb=None,
                     o_rad = ot_ref[OT_RAD, m]
                     o_act = ot_ref[OT_ACT, m] > 0.5
                     o_dyn = ot_ref[OT_DYN, m] > 0.5
+                    if multi:
+                        # objects belong to one stacked map each
+                        o_act = o_act & (mi == col_maps[m])
                     if domain_rand and m in opt_bit_of_col:
                         # optional-object visibility draw: bit m of the
                         # per-env obj_visible bitmask row
@@ -586,9 +609,17 @@ def make_state_kernel(cfg, Hg, Wg, n_words, M, n_spawn_ok, bb=None,
                 (rng_ctr.astype(jnp.int32) * 1664525) & 0x7FFFFFFF,
                 env_id.astype(jnp.int32),
             )
-            sidx = h % max(n_spawn_ok, 1)
+            if multi:
+                # draw within the env's map segment of the bank
+                n_ok_v = jnp.full_like(h, n_ok_list[0])
+                for m_ in range(1, n_maps):
+                    n_ok_v = jnp.where(mi == m_, n_ok_list[m_], n_ok_v)
+                sidx = mi * BANK_K + h % jnp.maximum(n_ok_v, 1)
+            else:
+                sidx = h % max(n_spawn_ok, 1)
             ohb = (
-                jax.lax.broadcasted_iota(jnp.int32, (BANK_K, bb), 0)
+                jax.lax.broadcasted_iota(
+                    jnp.int32, (n_maps * BANK_K, bb), 0)
                 == sidx
             ).astype(f32)
             sp = jax.lax.dot_general(
@@ -697,7 +728,7 @@ def make_state_kernel(cfg, Hg, Wg, n_words, M, n_spawn_ok, bb=None,
             reward, done.astype(f32), signed_dist, dot_dir,
             lane_deg, in_lane_f,
             collided.astype(f32), step_cnt * dt, env_id,
-            o_ldist, o_ldot, o_ldeg, o_inlane,
+            o_ldist, o_ldot, o_ldeg, o_inlane, map_row,
         ]
         for i in range(len(npcs)):
             rows.extend([npc_xs[i], npc_zs[i], npc_as[i], npc_walks[i],
@@ -713,7 +744,83 @@ def make_state_kernel(cfg, Hg, Wg, n_words, M, n_spawn_ok, bb=None,
 
 
 def build_tables(cfg, maps):
-    """Static (numpy) kernel tables from a compiled map. Returns dict."""
+    """Static (numpy) kernel tables from a compiled map. Returns dict.
+
+    Stacked multimaps (leading map axis) produce concatenated tables:
+    curve/word/object/bank segments per map plus a `multi` descriptor;
+    the kernel then offsets every lookup by the env's map index
+    (F_MAPID blob row). Replaces the reference's one-Simulator-per-map
+    MultiMapEnv at kernel speed.
+    """
+    if maps.tile_kind.ndim == 3:
+        return _build_tables_multi(cfg, maps)
+    return _build_tables_single(cfg, maps)
+
+
+def _build_tables_multi(cfg, maps):
+    import jax
+
+    n_maps = maps.tile_kind.shape[0]
+    per_map = [
+        jax.tree_util.tree_map(lambda a, m=m: a[m], maps)
+        for m in range(n_maps)
+    ]
+    if any(moving_npcs(pm) for pm in per_map):
+        raise NotImplementedError(
+            "fused multimap with moving NPCs is not supported; drop the "
+            "NPC map from the stack or use the XLA step path"
+        )
+    if cfg.domain_rand:
+        raise NotImplementedError(
+            "fused multimap with domain_rand is not supported yet; use "
+            "the XLA step path or a single map"
+        )
+    tabs = [_build_tables_single(cfg, pm) for pm in per_map]
+    assert len({t["ts_inv"].item() for t in tabs}) == 1, (
+        "stacked maps must share tile_size"
+    )
+    t0 = tabs[0]
+    Hg, Wg = t0["Hg"], t0["Wg"]
+    T_pad = Hg * Wg
+    npw = -(-T_pad // 4)
+
+    ct = np.concatenate([t["ct"] for t in tabs], axis=1)
+    # words: exact npw segment per map, then lane pad
+    words = np.concatenate(
+        [t["words"][0, :npw] for t in tabs]
+    )
+    wtot = len(words)
+    wpad = max(-(-wtot // 128) * 128, 128)
+    words_padded = np.zeros((1, wpad), dtype=np.int32)
+    words_padded[0, :wtot] = words
+
+    # object table: concatenated columns; per-column source map recorded
+    ots, col_maps, opt_cols = [], [], []
+    col0 = 0
+    for m, t in enumerate(tabs):
+        if t["M"]:
+            ots.append(t["ot"][:, :t["M"]])
+            col_maps.extend([m] * t["M"])
+            opt_cols.extend(c + col0 for c in t["opt_cols"])
+            col0 += t["M"]
+    M = col0
+    ot = (np.concatenate(ots, axis=1) if M
+          else np.zeros((OT_F, 1), dtype=np.float32))
+
+    bank = np.concatenate([t["bank"] for t in tabs], axis=1)
+    n_ok_list = tuple(t["n_ok"] for t in tabs)
+
+    return dict(
+        ct=ct, words=words_padded, ot=ot, bank=bank,
+        n_ok=max(n_ok_list), n_words=wtot, M=M, Hg=Hg, Wg=Wg,
+        ts_inv=t0["ts_inv"], npcs=(), moving_cols=(),
+        opt_cols=tuple(opt_cols),
+        multi=dict(n_maps=n_maps, t_pad=T_pad, npw=npw,
+                   n_ok_list=n_ok_list, col_maps=tuple(col_maps)),
+    )
+
+
+def _build_tables_single(cfg, maps):
     Hg, Wg = maps.grid_shape
     n_tiles = Hg * Wg
     T_pad = n_tiles  # contraction dim; MXU pads internally
@@ -881,6 +988,7 @@ def state_step_pallas(cfg, maps, blob, actions, tables=None,
         npcs=tables.get("npcs", ()),
         moving_cols=tables.get("moving_cols", ()),
         opt_cols=tables.get("opt_cols", ()),
+        multi=tables.get("multi"),
     )
     ct = jnp.asarray(tables["ct"])
     words = jnp.asarray(tables["words"])

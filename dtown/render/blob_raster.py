@@ -68,8 +68,44 @@ def build_render_plan(cfg, maps):
     (traffic lights allowed — pose static, lamp phase derived from the
     per-env step counter in-kernel).
     """
-    if maps.tile_kind.ndim != 2:
-        return None  # stacked multimap: per-env map tables not baked yet
+    if maps.tile_kind.ndim == 3:
+        # stacked multimap: per-map plans merged; every lookup in-kernel
+        # is offset by the env's map index (F_MAPID blob row)
+        import jax
+
+        n_maps = int(maps.tile_kind.shape[0])
+        if n_maps > 8:
+            return None
+        per = [
+            build_render_plan(
+                cfg, jax.tree_util.tree_map(lambda a, m=m: a[m], maps)
+            )
+            for m in range(n_maps)
+        ]
+        if any(p is None or p["n_npc"] for p in per):
+            return None
+        if any(p["ts_inv"] != per[0]["ts_inv"] for p in per):
+            return None
+        t_pad = per[0]["Hg"] * per[0]["Wg"]
+        npw = -(-t_pad // 4)
+        words, objs = [], []
+        present = frozenset()
+        for m, p in enumerate(per):
+            assert len(p["words"]) == npw, (len(p["words"]), npw)
+            words.extend(p["words"])
+            present = present | p["present"]
+            for ob in p["objs"]:
+                ob = dict(ob)
+                ob["map"] = m
+                objs.append(ob)
+        if len(objs) > 24:
+            return None
+        plan = dict(per[0])
+        plan.update(
+            words=words, n_words=n_maps * npw, present=present, objs=objs,
+            multi=dict(n_maps=n_maps, npw=npw),
+        )
+        return plan
     try:
         obj_mask = np.asarray(maps.obj_mask)
     except Exception:
@@ -156,6 +192,7 @@ def build_render_plan(cfg, maps):
             wiggle=(npc_idx is not None
                     and k == T.OBJ_KIND_IDS["duckie"]),
             slot=int(m),
+            map=None,
         ))
     # optional-object visibility bit index per object (must match the
     # state kernel's opt_cols bit order: optional objects in
@@ -176,6 +213,7 @@ def build_render_plan(cfg, maps):
     return dict(
         domain_rand=bool(cfg.domain_rand),
         n_npc=len(npcs),
+        multi=None,
         Hg=int(Hg), Wg=int(Wg), n_words=n_words, words=words,
         present=present, ts_inv=1.0 / float(maps.tile_size),
         tan_half=tan_half, sin_pitch=math.sin(pitch),
@@ -216,6 +254,8 @@ def _make_blob_kernel(H, W, plan, epb):
     dr = plan["domain_rand"]
     drb = sk.dr_base(plan["n_npc"])
     deg = math.pi / 180.0
+    multi = plan.get("multi")
+    npw_m = multi["npw"] if multi else 0
 
     def kernel(blob_ref, out_ref):
         # blob_ref: transposed blob rows [epb, NF]
@@ -235,6 +275,8 @@ def _make_blob_kernel(H, W, plan, epb):
             pz_s = blob_ref[e, sk.F_POS_Z]
             ang_s = blob_ref[e, sk.F_ANGLE]
             step_s = blob_ref[e, sk.F_STEP]
+            if multi:
+                mid_i = blob_ref[e, sk.F_MAPID].astype(jnp.int32)
 
             if dr:
                 # per-env randomization scalars from the DR blob rows
@@ -306,6 +348,8 @@ def _make_blob_kernel(H, W, plan, epb):
             jj = jnp.clip(tj.astype(jnp.int32), 0, Hg - 1)
             tid = jj * Wg + ii
             widx = tid >> 2
+            if multi:
+                widx = mid_i * npw_m + widx
             word = jnp.zeros_like(widx)
             for w in range(n_words):
                 if words[w] == 0:
@@ -377,6 +421,8 @@ def _make_blob_kernel(H, W, plan, epb):
                 dxo = ox - eye0
                 dzo = oz - eye2
                 act = (dxo * dxo + dzo * dzo) < cull2
+                if ob.get("map") is not None:
+                    act = act & (mid_i == ob["map"])
                 if dr and ob["opt_bit"] is not None:
                     # optional-object visibility bit for this env
                     kbit = ob["opt_bit"]

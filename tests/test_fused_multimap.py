@@ -1,0 +1,108 @@
+"""Fused kernel path over stacked multimaps (BASELINE config 5).
+
+Envs carry a per-map index in the blob (F_MAPID); every kernel lookup
+(tile words, curve tables, objects, spawn bank) is offset into that
+map's table segment. Fused results must match the XLA multimap path
+(select_map gather) env for env.
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from dtown import env as env_core, map_loader
+from dtown.ops import state_kernel as sk
+from dtown.ops.fused_env import make_fused_rollout, pack_blob
+from dtown.types import EnvConfig
+
+MAPS = ["zigzag_dists", "4way", "small_loop"]
+
+
+def test_fused_multimap_state_matches_xla():
+    cfg = EnvConfig(obs_type="state", auto_reset=True)
+    maps = map_loader.stack_maps(MAPS)
+    B = 48  # 16 envs per map
+    init_blob, fused_step, rollout = make_fused_rollout(cfg, maps, B)
+    blob, states = init_blob(jax.random.PRNGKey(0))
+    # envs round-robin over the stacked maps
+    np.testing.assert_array_equal(
+        np.asarray(blob[sk.F_MAPID]).astype(int), np.arange(B) % 3
+    )
+    actions = jnp.tile(jnp.array([0.4, 0.1], jnp.float32), (B, 1))
+    xs, b = states, blob
+    alive = np.ones(B, bool)
+    f_step = jax.jit(lambda b, a: fused_step(b, states, a))
+    x_step = jax.jit(lambda s, a: env_core.step_batch(cfg, maps, s, a))
+    for _ in range(4):
+        b, out_f, obs_f = f_step(b, actions)
+        xs, out_x = x_step(xs, actions)
+        alive &= ~np.asarray(out_x.done)
+        np.testing.assert_array_equal(
+            np.asarray(out_f.done), np.asarray(out_x.done)
+        )
+    pos_f = np.stack([np.asarray(b[sk.F_POS_X]),
+                      np.asarray(b[sk.F_POS_Z])], -1)
+    pos_x = np.asarray(xs.pos)[:, [0, 2]]
+    assert np.abs(pos_f - pos_x)[alive].max() < 1e-5
+    np.testing.assert_allclose(
+        np.asarray(out_f.reward)[alive], np.asarray(out_x.reward)[alive],
+        atol=1e-4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_f.lane_dist)[alive],
+        np.asarray(out_x.lane_dist)[alive], atol=1e-5,
+    )
+
+
+def test_fused_multimap_rgb_matches_xla():
+    from dtown.render.blob_raster import (
+        build_render_plan, render_frames_from_blob,
+    )
+    from dtown.render.pallas_raster import planes_to_nhwc
+
+    cfg = EnvConfig(obs_type="rgb", camera_width=64, camera_height=64,
+                    auto_reset=False)
+    maps = map_loader.stack_maps(MAPS)
+    plan = build_render_plan(cfg, maps)
+    assert plan is not None and plan["multi"]["n_maps"] == 3
+    B = 8
+    keys = jax.random.split(jax.random.PRNGKey(1), B)
+    idx = jnp.arange(B, dtype=jnp.int32) % 3
+    states = jax.vmap(lambda k, i: env_core.reset(cfg, maps, k, i))(
+        keys, idx
+    )
+    blob = pack_blob(states, maps)
+    planes = render_frames_from_blob(cfg, maps, blob, plan, interpret=True)
+    img_b = np.asarray(planes_to_nhwc(cfg, planes)).astype(int)
+    img_x = np.asarray(
+        jax.vmap(lambda s: env_core.render_obs(cfg, maps, s))(states)
+    ).astype(int)
+    diff = np.abs(img_b - img_x)
+    assert diff.mean() < 2.0, diff.mean()
+    assert (diff > 10).mean() < 0.03
+    # envs on different maps must actually see different worlds
+    assert np.abs(img_x[0].astype(int) - img_x[1].astype(int)).mean() > 2.0
+
+
+def test_fused_multimap_autoreset_stays_on_map():
+    cfg = EnvConfig(obs_type="state", auto_reset=True, max_steps=4)
+    maps = map_loader.stack_maps(MAPS)
+    B = 24
+    init_blob, fused_step, rollout = make_fused_rollout(cfg, maps, B)
+    blob, states = init_blob(jax.random.PRNGKey(2))
+    actions = jnp.zeros((B, 2), jnp.float32)
+    f = jax.jit(lambda b, a: fused_step(b, states, a))
+    for _ in range(6):  # every env truncates at least once
+        blob, out, obs = f(blob, actions)
+    # map assignment is sticky across auto-resets (vectorized curriculum)
+    np.testing.assert_array_equal(
+        np.asarray(blob[sk.F_MAPID]).astype(int), np.arange(B) % 3
+    )
+    # and every respawn landed on a drivable tile of ITS map
+    ts = float(np.asarray(maps.tile_size)[0])
+    driv = np.asarray(maps.drivable)
+    for e in range(B):
+        i = int(np.asarray(blob[sk.F_POS_X])[e] // ts)
+        j = int(np.asarray(blob[sk.F_POS_Z])[e] // ts)
+        assert driv[e % 3, j, i], (e, i, j)
