@@ -15,7 +15,7 @@ import numpy as np
 
 from dtown import types as T
 
-P_MAX = 3
+P_MAX = 4
 
 SPHERE = 0
 BOX = 1
@@ -27,10 +27,16 @@ _PRIMS = {
         (SPHERE, (0.0, 0.035, 0.0), (0.040, 0, 0), (0.95, 0.78, 0.09), 0),
         (SPHERE, (0.035, 0.075, 0.0), (0.026, 0, 0), (0.96, 0.80, 0.10), 0),
         (BOX, (0.068, 0.072, 0.0), (0.016, 0.008, 0.010), (0.90, 0.45, 0.08), 0),
+        # tail feathers (reference duckie.obj silhouette)
+        (SPHERE, (-0.038, 0.052, 0.0), (0.018, 0, 0), (0.97, 0.83, 0.12), 0),
     ],
     "duckiebot": [
         (BOX, (0.0, 0.045, 0.0), (0.090, 0.045, 0.065), (0.16, 0.16, 0.20), 0),
         (BOX, (0.02, 0.10, 0.0), (0.045, 0.012, 0.045), (0.25, 0.35, 0.60), 0),
+        # wheel strip (dark rubber band spanning both sides)
+        (BOX, (-0.02, 0.028, 0.0), (0.034, 0.028, 0.072), (0.05, 0.05, 0.06), 0),
+        # camera stalk at the front
+        (BOX, (0.085, 0.115, 0.0), (0.008, 0.022, 0.010), (0.10, 0.10, 0.12), 0),
     ],
     "cone": [
         (BOX, (0.0, 0.012, 0.0), (0.032, 0.012, 0.032), (0.90, 0.35, 0.10), 0),
@@ -80,11 +86,35 @@ _SIGN_FACE_COLORS = {
     "sign_duck_crossing": (0.90, 0.80, 0.20),
     "sign_pedestrian": (0.90, 0.90, 0.30),
 }
+# glyph strip color per sign family: a contrasting band on the face so
+# sign types are tellable apart at RL resolutions
+_SIGN_GLYPH_COLORS = {
+    "sign_stop": (0.95, 0.95, 0.95),
+    "sign_T_intersect": (0.10, 0.10, 0.10),
+    "sign_yield": (0.80, 0.15, 0.12),
+    "sign_left_T_intersect": (0.10, 0.10, 0.10),
+    "sign_right_T_intersect": (0.10, 0.10, 0.10),
+    "sign_4_way_intersect": (0.15, 0.15, 0.60),
+    "sign_do_not_enter": (0.95, 0.95, 0.95),
+    "sign_oneway_left": (0.90, 0.90, 0.90),
+    "sign_oneway_right": (0.90, 0.90, 0.90),
+    "sign_duck_crossing": (0.15, 0.12, 0.10),
+    "sign_pedestrian": (0.15, 0.15, 0.18),
+}
 for _name, _color in _SIGN_FACE_COLORS.items():
     _PRIMS[_name] = [
         (BOX, (0.0, 0.065, 0.0), (0.006, 0.065, 0.006), (0.45, 0.45, 0.45), 0),
         (BOX, (0.0, 0.145, 0.0), (0.010, 0.035, 0.045), _color, 0),
+        (BOX, (0.011, 0.145, 0.0), (0.0015, 0.012, 0.022),
+         _SIGN_GLYPH_COLORS[_name], 0),
     ]
+
+
+# Triangle meshes for kinds registered from OBJ files
+# (objmesh.register_custom_object): kind -> (tris [T, 3, 3] f32 model
+# space, colors [T, 3] f32). Consumed by the XLA renderer's
+# mesh_fidelity="triangles" path (render/raster.py).
+TRI_MESHES = {}
 
 
 @functools.lru_cache(maxsize=1)

@@ -38,6 +38,8 @@ class ObjMesh:
         groups: Dict[Optional[str], List[int]] = {}
 
         mtl_colors = {}
+        tri_list: List[List[int]] = []   # triangle vertex index triplets
+        tri_mtls: List[Optional[str]] = []
         mtl_path = os.path.splitext(path)[0] + ".mtl"
 
         def load_mtl(p):
@@ -69,9 +71,14 @@ class ObjMesh:
                     load_mtl(os.path.join(os.path.dirname(path), t[1]))
                 elif t[0] == "f":
                     idxs = [int(w.split("/")[0]) for w in t[1:]]
-                    groups.setdefault(cur_mtl, []).extend(
+                    idxs = [
                         i - 1 if i > 0 else len(verts) + i for i in idxs
-                    )
+                    ]
+                    groups.setdefault(cur_mtl, []).extend(idxs)
+                    # fan-triangulate the face
+                    for a in range(1, len(idxs) - 1):
+                        tri_list.append([idxs[0], idxs[a], idxs[a + 1]])
+                        tri_mtls.append(cur_mtl)
         if not os.path.exists(mtl_path):
             pass
         else:
@@ -82,6 +89,17 @@ class ObjMesh:
             raise ValueError(f"no vertices in {path}")
         self.min_coords = self.verts.min(axis=0)
         self.max_coords = self.verts.max(axis=0)
+
+        # triangle list (world = model coords) with per-triangle Kd color
+        if tri_list:
+            self.triangles = self.verts[np.asarray(tri_list)]  # [T, 3, 3]
+            self.tri_colors = np.stack([
+                mtl_colors.get(m, np.array([0.6, 0.6, 0.6]))
+                for m in tri_mtls
+            ])
+        else:
+            self.triangles = np.zeros((0, 3, 3))
+            self.tri_colors = np.zeros((0, 3))
 
         # one box per material group
         self.group_boxes = []  # (center(3), half_extents(3), color(3))
@@ -98,6 +116,29 @@ class ObjMesh:
                 (0.5 * (lo + hi), 0.5 * (hi - lo),
                  np.array([0.6, 0.6, 0.6]))
             ]
+
+    def to_triangles(self, max_tris: int = 64):
+        """Fixed-budget triangle buffer (SURVEY §7 hard-part 1b: meshes
+        pre-baked to fixed-size vertex buffers), ground-normalized.
+
+        Decimation keeps the largest-area triangles; the buffer is padded
+        with degenerate (zero-area) triangles to exactly max_tris.
+        Returns (tris [max_tris, 3, 3] f32, colors [max_tris, 3] f32).
+        """
+        tris = self.triangles.copy()
+        cols = self.tri_colors.copy()
+        if len(tris):
+            tris[:, :, 1] -= self.min_coords[1]
+            e1 = tris[:, 1] - tris[:, 0]
+            e2 = tris[:, 2] - tris[:, 0]
+            area = 0.5 * np.linalg.norm(np.cross(e1, e2), axis=-1)
+            order = np.argsort(-area)[:max_tris]
+            tris, cols = tris[order], cols[order]
+        pad = max_tris - len(tris)
+        if pad > 0:
+            tris = np.concatenate([tris, np.zeros((pad, 3, 3))])
+            cols = np.concatenate([cols, np.zeros((pad, 3))])
+        return tris.astype(np.float32), cols.astype(np.float32)
 
     def to_prims(self, max_prims: int = 3):
         """Largest-volume material boxes as renderer primitives,
@@ -135,4 +176,5 @@ def register_custom_object(kind: str, mesh_path: str):
         T.OBJ_KINDS.append(kind)
         T.OBJ_KIND_IDS[kind] = len(T.OBJ_KINDS) - 1
     meshlib._PRIMS[kind] = mesh.to_prims()
+    meshlib.TRI_MESHES[kind] = mesh.to_triangles()
     meshlib.prim_tables.cache_clear()

@@ -467,9 +467,11 @@ def prepare_object_blocks(cfg, maps, state, eye):
         == jnp.arange(prim_mat.shape[0])[None, :]
     ).astype(jnp.float32)
     prim = koh @ prim_mat  # [K, P*F]
-    # traffic-light lamp color by phase
+    # traffic-light lamp color by phase (at the kind's phase-flagged slot)
     is_lamp_kind = kind.astype(jnp.int32) == T.OBJ_KIND_IDS["trafficlight"]
-    lamp_base = (P_MAX - 1) * PRIM_F
+    tl_phase_flags = meshlib.prim_tables()["phase"][
+        T.OBJ_KIND_IDS["trafficlight"]]
+    lamp_base = int(np.argmax(tl_phase_flags)) * PRIM_F
     green = phase >= 0.5
     lamp_rgb = jnp.where(
         green[:, None],

@@ -183,7 +183,8 @@ def _intersect_prims(o, d, prim):
     return t_best, normal, best, hit
 
 
-def _render_objects(cfg, maps, state, rays, eye, rgb, t_bg):
+def _render_objects(cfg, maps, state, rays, eye, rgb, t_bg,
+                    exclude_slots=()):
     """Composite the nearest MAX_VIS objects over the background."""
     prim_np = meshlib.prim_tables()
     prim = {k: jnp.asarray(v) for k, v in prim_np.items()}
@@ -200,6 +201,11 @@ def _render_objects(cfg, maps, state, rays, eye, rgb, t_bg):
     from dtown.env import active_objects
 
     active = active_objects(maps, state)
+    if exclude_slots:
+        # slots drawn by the triangle-fidelity pass instead
+        ex = np.zeros(M, dtype=bool)
+        ex[list(exclude_slots)] = True
+        active = active & ~jnp.asarray(ex)
     dist = jnp.linalg.norm(state.dyn.pos - eye[None, :], axis=-1)
     active = active & (dist < cfg.obj_cull_dist)  # sub-pixel beyond this
     score = jnp.where(active, -dist, -jnp.inf)
@@ -322,6 +328,94 @@ def _overlay_bboxes(cfg, maps, state, rgb, rays, eye, t_bg):
     return jnp.where(on_edge[..., None], red, rgb)
 
 
+def _intersect_triangles(o, d, tris, cols):
+    """Batched Moeller-Trumbore: rays (o [3] or [H,W,3], d [H,W,3]) vs a
+    fixed triangle buffer (tris [T,3,3], cols [T,3]).
+
+    Returns (t [H,W], normal [H,W,3], color [H,W,3], hit [H,W]).
+    Degenerate (zero-area) padding triangles never hit.
+    """
+    v0 = tris[:, 0]                                   # [T, 3]
+    e1 = tris[:, 1] - v0
+    e2 = tris[:, 2] - v0
+    dd = d[..., None, :]                              # [H,W,1,3]
+    pvec = jnp.cross(dd, e2[None, None])              # [H,W,T,3]
+    det = jnp.sum(e1[None, None] * pvec, axis=-1)     # [H,W,T]
+    inv_det = jnp.where(jnp.abs(det) > 1e-12, 1.0 / det, 0.0)
+    tvec = o[..., None, :] - v0[None, None]
+    u = jnp.sum(tvec * pvec, axis=-1) * inv_det
+    qvec = jnp.cross(tvec, e1[None, None])
+    v = jnp.sum(dd * qvec, axis=-1) * inv_det
+    t = jnp.sum(e2[None, None] * qvec, axis=-1) * inv_det
+    hit_p = (
+        (jnp.abs(det) > 1e-12) & (u >= 0.0) & (v >= 0.0)
+        & (u + v <= 1.0) & (t > _EPS)
+    )
+    t_p = jnp.where(hit_p, t, jnp.inf)
+    best = jnp.argmin(t_p, axis=-1)
+    t_best = jnp.take_along_axis(t_p, best[..., None], axis=-1)[..., 0]
+    hit = jnp.isfinite(t_best)
+    n_raw = jnp.cross(e1, e2)
+    n_raw = n_raw / jnp.maximum(
+        jnp.linalg.norm(n_raw, axis=-1, keepdims=True), 1e-12
+    )
+    normal = n_raw[best]                              # [H,W,3]
+    # two-sided shading: flip the normal against the ray
+    flip = jnp.sum(normal * d, axis=-1, keepdims=True) > 0.0
+    normal = jnp.where(flip, -normal, normal)
+    return t_best, normal, cols[best], hit
+
+
+def _render_tri_objects(cfg, maps, state, rays, eye, rgb, t_bg):
+    """Triangle-fidelity pass: objects whose kind has a registered OBJ
+    triangle buffer (meshes.TRI_MESHES) are ray-cast at mesh fidelity,
+    replacing their primitive-soup stand-in. Static per-slot unroll (the
+    kind table is a compile-time constant of the map)."""
+    from dtown import types as T
+    from dtown.env import active_objects
+    from dtown.objects import render_angles
+
+    kinds = np.asarray(maps.obj_kind)
+    mask = np.asarray(maps.obj_mask)
+    tri_slots = [
+        int(s) for s in np.nonzero(mask)[0]
+        if T.OBJ_KINDS[int(kinds[s])] in meshlib.TRI_MESHES
+    ]
+    if not tri_slots:
+        return rgb, t_bg
+    active = active_objects(maps, state)
+    draw_angle = render_angles(maps, state.dyn)
+    for s in tri_slots:
+        tris_np, cols_np = meshlib.TRI_MESHES[T.OBJ_KINDS[int(kinds[s])]]
+        tris = jnp.asarray(tris_np)
+        cols = jnp.asarray(cols_np)
+        opos = state.dyn.pos[s]
+        oang = draw_angle[s]
+        oscale = maps.obj_scale[s]
+        s_r, c_r = sincos(-oang)
+        off = (eye - opos) / jnp.maximum(oscale, 1e-6)
+        ox, oz = _rot_xz(off[0], off[2], s_r, c_r)
+        o_model = jnp.stack([ox, off[1], oz])
+        dx, dz = _rot_xz(rays[..., 0], rays[..., 2], s_r, c_r)
+        d_model = jnp.stack([dx, rays[..., 1], dz], axis=-1)
+        o_b = jnp.broadcast_to(o_model, d_model.shape)
+        t_m, n_model, col, hit = _intersect_triangles(
+            o_b, d_model, tris, cols
+        )
+        t_w = t_m * oscale
+        closer = hit & (t_w < t_bg) & active[s]
+        s_f, c_f = sincos(oang)
+        nx, nz = _rot_xz(n_model[..., 0], n_model[..., 2], s_f, c_f)
+        n_world = jnp.stack([nx, n_model[..., 1], nz], axis=-1)
+        diffuse = jnp.maximum(
+            0.0, -jnp.sum(n_world * state.light_dir[None, None, :], axis=-1)
+        )
+        shade = state.light_ambient + (1.0 - state.light_ambient) * diffuse
+        rgb = jnp.where(closer[..., None], col * shade[..., None], rgb)
+        t_bg = jnp.where(closer, t_w, t_bg)
+    return rgb, t_bg
+
+
 def render_frame(cfg, maps, state):
     """Render one env's camera observation -> uint8 [H, W, C]."""
     rays, eye = camera_rays(cfg, state)
@@ -331,7 +425,21 @@ def render_frame(cfg, maps, state):
     if cfg.draw_bbox:
         rgb = _overlay_bboxes(cfg, maps, state, rgb, rays, eye, t_bg)
     if cfg.render_objects:
-        rgb, t_bg = _render_objects(cfg, maps, state, rays, eye, rgb, t_bg)
+        tri_slots = ()
+        if cfg.mesh_fidelity == "triangles":
+            from dtown import types as T
+
+            kinds = np.asarray(maps.obj_kind)
+            mask = np.asarray(maps.obj_mask)
+            tri_slots = tuple(
+                int(s) for s in np.nonzero(mask)[0]
+                if T.OBJ_KINDS[int(kinds[s])] in meshlib.TRI_MESHES
+            )
+        rgb, t_bg = _render_objects(cfg, maps, state, rays, eye, rgb,
+                                    t_bg, exclude_slots=tri_slots)
+        if tri_slots:
+            rgb, t_bg = _render_tri_objects(cfg, maps, state, rays, eye,
+                                            rgb, t_bg)
     if cfg.distortion:
         from dtown.render.distortion import apply_distortion
 

@@ -104,6 +104,11 @@ class EnvConfig:
     obj_cull_dist: float = 4.0  # m; objects farther than this are sub-pixel
     renderer: str = "xla"  # "xla" (vmapped, reference) | "pallas" (fused kernel)
     distortion: bool = False
+    # Object mesh fidelity in the XLA renderer: "prims" ray-casts the
+    # primitive-soup models (fast path); "triangles" ray-casts the
+    # fixed-budget triangle buffers of OBJ-registered kinds
+    # (objmesh.register_custom_object) at reference mesh fidelity.
+    mesh_fidelity: str = "prims"
 
     # Episode handling
     auto_reset: bool = True  # in-graph reset when done (vectorized idiom)

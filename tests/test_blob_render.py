@@ -48,8 +48,8 @@ def test_blob_render_matches_xla(map_name):
 
 
 def test_blob_render_ineligible_cases():
-    # stacked multimap arrays are not baked into the blob kernel yet
-    stacked = map_loader.stack_maps(["small_loop", "straight_road"])
+    # beyond the straight-line object budget: falls to the top-K path
+    stacked = map_loader.stack_maps(["udem1", "udem1", "udem1"])
     assert build_render_plan(EnvConfig(obs_type="rgb"), stacked) is None
 
 

@@ -57,3 +57,57 @@ def test_register_custom_object(tmp_path):
     tables = meshlib.prim_tables()
     kid = T.OBJ_KIND_IDS["duckhouse"]
     assert tables["mask"][kid].any()
+
+
+def test_triangle_buffer(tmp_path):
+    from dtown.render.objmesh import ObjMesh
+
+    mesh = ObjMesh.get(_write_sample(tmp_path))
+    tris, cols = mesh.to_triangles(max_tris=16)
+    assert tris.shape == (16, 3, 3) and cols.shape == (16, 3)
+    # two quads fan into 2 tris each + 1 roof tri = 5 real triangles
+    areas = 0.5 * np.linalg.norm(
+        np.cross(tris[:, 1] - tris[:, 0], tris[:, 2] - tris[:, 0]), axis=-1
+    )
+    assert (areas > 1e-9).sum() == 5
+    # ground-normalized: min y is 0
+    assert abs(tris[areas > 1e-9][:, :, 1].min()) < 1e-9
+
+
+def test_triangle_fidelity_render(tmp_path):
+    """mesh_fidelity='triangles' ray-casts the registered OBJ mesh; the
+    rendered silhouette differs from the box stand-in and shows the
+    roof's red material (SURVEY §7 hard-part 1b)."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from dtown import env as env_core, map_loader
+    from dtown.render.objmesh import register_custom_object
+    from dtown.types import EnvConfig
+
+    register_custom_object("duckhouse", _write_sample(tmp_path))
+    data = {
+        "tiles": [["straight/W", "straight/W", "straight/W"]],
+        "objects": [
+            # rotate 90: the sample mesh's wall quads face the camera;
+            # height keeps the roof apex inside the pitched-down fov
+            {"kind": "duckhouse", "pos": [1.0, 0.3], "rotate": 90,
+             "height": 0.1, "static": True},
+        ],
+        "tile_size": 0.585,
+    }
+    maps = map_loader.compile_map(data)
+    base = EnvConfig(obs_type="rgb", camera_width=64, camera_height=64,
+                     start_pose=(0.3, 0.15, 0.0))
+    tri = dataclasses.replace(base, mesh_fidelity="triangles")
+    s = env_core.reset(base, maps, jax.random.PRNGKey(0))
+    img_p = np.asarray(env_core.render_obs(base, maps, s)).astype(int)
+    img_t = np.asarray(env_core.render_obs(tri, maps, s)).astype(int)
+    diff = np.abs(img_p - img_t)
+    assert diff.mean() > 0.5, "triangle pass must change the image"
+    # the pyramid roof (red Kd) must be visible in the triangle render
+    red = (img_t[:, :, 0] > 90) & (img_t[:, :, 0] > 1.5 * img_t[:, :, 1]) \
+        & (img_t[:, :, 0] > 1.5 * img_t[:, :, 2])
+    assert red.sum() > 3, red.sum()
