@@ -136,10 +136,42 @@ class DuckietownEnv:
         )
 
     def render(self, mode: str = "rgb_array"):
-        return np.asarray(self._render(self.state))
+        """rgb_array returns the frame; 'human' additionally paints it
+        into the terminal as ANSI truecolor half-blocks (the reference
+        opens a pyglet GL window — this environment is headless, so the
+        live view is the terminal; see also manual_control.py)."""
+        img = np.asarray(self._render(self.state))
+        if mode == "human":
+            _print_ansi_frame(img)
+        return img
 
     def close(self):
         pass
+
+
+def _print_ansi_frame(img, max_cols: int = 64, out=None):
+    """Paint an RGB uint8 frame into a terminal with 24-bit half-blocks
+    (two pixel rows per text row)."""
+    import sys
+
+    out = out or sys.stdout
+    h, w = img.shape[:2]
+    step = max(1, w // max_cols)
+    small = img[::step * 2, ::step]  # two vertical pixels per char
+    small_lo = img[step::step * 2, ::step]
+    rows = min(len(small), len(small_lo))
+    lines = []
+    for r in range(rows):
+        line = []
+        for c in range(small.shape[1]):
+            tr, tg, tb = (int(x) for x in small[r, c][:3])
+            br, bg_, bb = (int(x) for x in small_lo[r, c][:3])
+            line.append(
+                f"\x1b[38;2;{tr};{tg};{tb}m\x1b[48;2;{br};{bg_};{bb}m▀"
+            )
+        lines.append("".join(line) + "\x1b[0m")
+    out.write("\n".join(lines) + "\n")
+    out.flush()
 
 
 class DuckietownLF(DuckietownEnv):

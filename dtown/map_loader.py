@@ -147,6 +147,9 @@ def compile_map(data: dict, max_objects: Optional[int] = None) -> MapArrays:
     obj_mask = np.zeros((M,), dtype=bool)
     obj_optional = np.zeros((M,), dtype=bool)
     obj_is_dynamic = np.zeros((M,), dtype=bool)
+    from dtown.objects import DUCKIE_WALK_DISTANCE
+
+    obj_walk_dist = np.full((M,), DUCKIE_WALK_DISTANCE, dtype=np.float64)
 
     for m, ob in enumerate(objs):
         kind = ob["kind"]
@@ -177,6 +180,9 @@ def compile_map(data: dict, max_objects: Optional[int] = None) -> MapArrays:
         obj_mask[m] = True
         obj_optional[m] = bool(ob.get("optional", False))
         obj_is_dynamic[m] = is_dynamic
+        obj_walk_dist[m] = float(
+            ob.get("walk_distance", obj_walk_dist[m])
+        )
 
     driv_flat = drivable.reshape(-1).astype(np.float64)
     total = max(driv_flat.sum(), 1.0)
@@ -208,6 +214,7 @@ def compile_map(data: dict, max_objects: Optional[int] = None) -> MapArrays:
         obj_mask=jnp.asarray(obj_mask),
         obj_optional=jnp.asarray(obj_optional),
         obj_is_dynamic=jnp.asarray(obj_is_dynamic),
+        obj_walk_dist=f32(obj_walk_dist),
         tile_size=f32(tile_size),
         drivable_frac=f32(driv_flat / total),
         spawn_pos=f32(sp_pos),
@@ -265,6 +272,7 @@ def stack_maps(map_names, max_objects: Optional[int] = None):
             obj_mask=pad(m.obj_mask, False, 0),
             obj_optional=pad(m.obj_optional, False, 0),
             obj_is_dynamic=pad(m.obj_is_dynamic, False, 0),
+            obj_walk_dist=pad(m.obj_walk_dist, False, 0),
             tile_size=m.tile_size,
             drivable_frac=driv,
             spawn_pos=m.spawn_pos,

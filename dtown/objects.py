@@ -75,15 +75,16 @@ def render_angles(maps, dyn: DynObjState):
     return jnp.where(is_walk_duckie, dyn.angle + wob, dyn.angle)
 
 
-def _duckie_step(dyn: DynObjState, dt):
-    """Pedestrian walk: advance along heading, reverse after walk_distance.
+def _duckie_step(maps, dyn: DynObjState, dt):
+    """Pedestrian walk: advance along heading, reverse after the slot's
+    walk distance (map-suppliable via the yaml `walk_distance:` key).
 
     reference: objects.py::DuckieObj.step / ::finish_walk.
     """
     step_len = dyn.vel * dt
     new_pos = dyn.pos + step_len[:, None] * get_dir_vec(dyn.angle)
     new_walk = dyn.walk_dist + step_len
-    reverse = new_walk > DUCKIE_WALK_DISTANCE
+    reverse = new_walk > maps.obj_walk_dist
     angle = jnp.where(reverse, dyn.angle + jnp.pi, dyn.angle)
     walk = jnp.where(reverse, 0.0, new_walk)
     return new_pos, angle, walk
@@ -131,7 +132,7 @@ def step_dynamic_objects(maps, dyn: DynObjState, dt) -> DynObjState:
 
     pos, angle, walk = dyn.pos, dyn.angle, dyn.walk_dist
     if concrete_any(dyn_mask & is_duckie):
-        d_pos, d_angle, d_walk = _duckie_step(dyn, dt)
+        d_pos, d_angle, d_walk = _duckie_step(maps, dyn, dt)
         sel = dyn_mask & is_duckie
         pos = jnp.where(sel[:, None], d_pos, pos)
         angle = jnp.where(sel, d_angle, angle)

@@ -98,6 +98,7 @@ def moving_npcs(maps):
     hd = np.asarray(maps.obj_halfdims)
     rad = np.asarray(maps.obj_safety_rad)
     duckie_id = T.OBJ_KIND_IDS["duckie"]
+    wdist = np.asarray(maps.obj_walk_dist)
     out = []
     for s in np.nonzero(mask)[0]:
         out.append(dict(
@@ -107,6 +108,7 @@ def moving_npcs(maps):
             a0=float(rot[s]),
             hw=float(hd[s, 0]), hl=float(hd[s, 1]),
             rad=float(rad[s]),
+            walk_dist=float(wdist[s]),
         ))
     return out
 
@@ -412,7 +414,7 @@ def make_state_kernel(cfg, Hg, Wg, n_words, M, n_spawn_ok, bb=None,
                     nx = nx + step_len * c_n
                     nz = nz - step_len * s_n
                     nw = nw + step_len
-                    rev = nw > objlib.DUCKIE_WALK_DISTANCE
+                    rev = nw > npc["walk_dist"]
                     na = jnp.where(rev, na + np.pi, na)
                     nw = jnp.where(rev, 0.0, nw)
                 else:  # scripted duckiebot lane follower

@@ -231,8 +231,9 @@ def build_render_plan(cfg, maps):
     )
 
 
-def _make_blob_kernel(H, W, plan, epb):
-    """Kernel: blob block [NF, epb] -> uint8 frames [epb, 3, S, 128]."""
+def _make_blob_kernel(H, W, plan, epb, grayscale=False):
+    """Kernel: blob rows [epb, NF] -> uint8 frames [epb, C, S, 128]
+    (C = 1 luma plane under grayscale, else 3 RGB planes)."""
     S = H * W // LANE_N
     Hg, Wg, n_words = plan["Hg"], plan["Wg"], plan["n_words"]
     words = plan["words"]
@@ -376,6 +377,11 @@ def _make_blob_kernel(H, W, plan, epb):
             r_ = jnp.where(hits_ground, r_, hr_e * sky_f)
             g_ = jnp.where(hits_ground, g_, hg_e * sky_f)
             b_ = jnp.where(hits_ground, b_, hb_e * sky_f)
+            if grayscale:
+                # collapse to a single luma plane BEFORE the object pass
+                # (luma is linear, so shading/select commute with it);
+                # every per-prim color update then touches one plane
+                l_ = 0.299 * r_ + 0.587 * g_ + 0.114 * b_
 
             t_best = jnp.where(hits_ground, t_g, jnp.float32(1e30))
             if plan["objs"]:
@@ -384,6 +390,11 @@ def _make_blob_kernel(H, W, plan, epb):
                 t_env = step_s * dt
                 phase_green = jnp.floor(t_env * (1.0 / tl_period)
                                         ).astype(jnp.int32) % 2
+                # NOTE: object intersection stays f32 end-to-end. A bf16
+                # variant (vector math in bf16, f32 sqrt/occlusion) was
+                # measured 17% SLOWER on this target: the casts at every
+                # scalar->vector boundary outweigh the 1.4x VPU packing,
+                # and this chip has no bf16 EUP or scalar ALU.
 
             for ob in plan["objs"]:
                 inv_s, sc = ob["inv_s"], ob["scale"]
@@ -447,6 +458,17 @@ def _make_blob_kernel(H, W, plan, epb):
                     inv_dmx = safe_inv(dmx)
                     inv_dmy = safe_inv(dy)
                     inv_dmz = safe_inv(dmz)
+                if any(not pr_["is_box"] for pr_ in ob["prims"]):
+                    # ray.light in model space, shared by every sphere
+                    # prim of this object: sphere diffuse needs no hit
+                    # point — hit_rel = oc + t*dm with oc a per-env
+                    # SCALAR, so diffuse = -(oc.lm + t*(dm.lm))/radius
+                    # costs 4 vector ops/prim instead of ~13
+                    dl = dmx * lmx + dy * lmy + dmz * lmz
+                # env-level cull folded into the t scale: a culled env
+                # gets t_w ~ 1e30 and every `closer` compare fails, which
+                # drops the per-prim `& act` vector op
+                sc_g = jnp.where(act, jnp.float32(sc), jnp.float32(1e30))
 
                 for pr_ in ob["prims"]:
                     cx, cy, cz = pr_["center"]
@@ -469,8 +491,13 @@ def _make_blob_kernel(H, W, plan, epb):
                         x3 = jnp.maximum(t1, t2)
                         tmin = jnp.maximum(jnp.maximum(n1, n2), n3)
                         tmax = jnp.minimum(jnp.minimum(x1, x2), x3)
-                        t_m = jnp.where(tmin > 1e-4, tmin, tmax)
-                        hit = (tmax >= jnp.maximum(tmin, 1e-4)) & (t_m > 1e-4)
+                        m_in = tmin > 1e-4
+                        t_m = jnp.where(m_in, tmin, tmax)
+                        # (tmax>=tmin & tmax>1e-4) == the usual
+                        # (tmax>=max(tmin,1e-4) & t_m>1e-4): in the entry
+                        # case t_m=tmin>1e-4, in the inside case
+                        # tmax>tmin holds whenever tmax>1e-4>=tmin
+                        hit = (tmax >= tmin) & (tmax > 1e-4)
                     else:
                         bq = ocx * dmx + ocy * dy + ocz * dmz
                         cq = ocx * ocx + ocy * ocy + ocz * ocz - p0 * p0
@@ -478,35 +505,33 @@ def _make_blob_kernel(H, W, plan, epb):
                         t_m = -bq - jnp.sqrt(jnp.maximum(disc, 0.0))
                         hit = (disc > 0.0) & (t_m > 1e-4)
 
-                    t_w = t_m * sc
-                    closer = hit & (t_w < t_best) & act
+                    t_w = t_m * sc_g
+                    closer = hit & (t_w < t_best)
 
-                    hx = ocx + t_m * dmx
-                    hy = ocy + t_m * dy
-                    hz = ocz + t_m * dmz
                     if pr_["is_box"]:
-                        # diffuse from the axis-aligned model normal: a
-                        # sign select among precomputed -(n . l_model)
-                        ax_ = jnp.abs(hx) * (1.0 / max(p0, 1e-9))
-                        ay_ = jnp.abs(hy) * (1.0 / max(p1, 1e-9))
-                        az_ = jnp.abs(hz) * (1.0 / max(p2, 1e-9))
-                        xb = (ax_ >= ay_) & (ax_ >= az_)
-                        yb = (~xb) & (ay_ >= az_)
-                        dv = jnp.where(
-                            xb, jnp.where(hx >= 0.0, -lmx, lmx),
-                            jnp.where(
-                                yb, jnp.where(hy >= 0.0, -lmy, lmy),
-                                jnp.where(hz >= 0.0, -lmz, lmz),
-                            ),
-                        )
+                        # diffuse from the axis-aligned model normal,
+                        # WITHOUT reconstructing the hit point: for a
+                        # camera outside the box the hit face is the slab
+                        # achieving tmin (the same face the XLA
+                        # renderer's |h_a|/p_a argmax finds — the hit
+                        # point lies ON it), and its outward normal sign
+                        # is -sign(dm_a), so dv = -(n.lm) =
+                        # sign(dm_a)*lm_a. The camera-inside-a-box case
+                        # (reachable only mid-crash into a large object)
+                        # keeps the entry-face shading — sub-frame
+                        # approximation the equivalence tests never see.
+                        xb = (n1 >= n2) & (n1 >= n3)
+                        yb = (n2 >= n3) & (~xb)
+                        wx = jnp.where(dmx >= 0.0, lmx, -lmx)
+                        wy = jnp.where(dy >= 0.0, lmy, -lmy)
+                        wz = jnp.where(dmz >= 0.0, lmz, -lmz)
+                        dv = jnp.where(xb, wx, jnp.where(yb, wy, wz))
                         diff = jnp.maximum(0.0, dv)
                     else:
-                        # sphere: normal = rel/p0; fold 1/p0 into l_model
-                        ip0 = 1.0 / max(p0, 1e-9)
+                        # sphere: normal = hit_rel/p0; see dl above
+                        k1 = ocx * lmx + ocy * lmy + ocz * lmz
                         diff = jnp.maximum(
-                            0.0,
-                            -(hx * (lmx * ip0) + hy * (lmy * ip0)
-                              + hz * (lmz * ip0)),
+                            0.0, (k1 + t_m * dl) * (-1.0 / max(p0, 1e-9))
                         )
                     sh = amb_e + kd_e * diff
                     if pr_["lamp"]:
@@ -514,23 +539,29 @@ def _make_blob_kernel(H, W, plan, epb):
                         cr_l = jnp.where(green, 0.1, 0.9)
                         cg_l = jnp.where(green, 0.85, 0.1)
                         cb_l = jnp.where(green, 0.15, 0.1)
+                    else:
+                        cr_l, cg_l, cb_l = pr_["color"]
+                    if grayscale:
+                        # luma-only object pass: one shaded plane select
+                        # per prim instead of three
+                        cl_l = 0.299 * cr_l + 0.587 * cg_l + 0.114 * cb_l
+                        l_ = jnp.where(closer, cl_l * sh, l_)
+                    else:
                         r_ = jnp.where(closer, cr_l * sh, r_)
                         g_ = jnp.where(closer, cg_l * sh, g_)
                         b_ = jnp.where(closer, cb_l * sh, b_)
-                    else:
-                        pcr, pcg, pcb = pr_["color"]
-                        r_ = jnp.where(closer, pcr * sh, r_)
-                        g_ = jnp.where(closer, pcg * sh, g_)
-                        b_ = jnp.where(closer, pcb * sh, b_)
                     t_best = jnp.where(closer, t_w, t_best)
 
             def to_u8(xv):
                 return (jnp.clip(xv, 0.0, 1.0) * 255.0 + 0.5).astype(
                     jnp.int32).astype(jnp.uint8)
 
-            out_ref[e, 0] = to_u8(r_)
-            out_ref[e, 1] = to_u8(g_)
-            out_ref[e, 2] = to_u8(b_)
+            if grayscale:
+                out_ref[e, 0] = to_u8(l_)
+            else:
+                out_ref[e, 0] = to_u8(r_)
+                out_ref[e, 1] = to_u8(g_)
+                out_ref[e, 2] = to_u8(b_)
 
     return kernel
 
@@ -539,7 +570,8 @@ def render_frames_from_blob(cfg, maps, blob, plan, epb=None,
                             interpret=None):
     """Batched render from the state blob [NF, B].
 
-    Returns uint8 [B, 3, S, 128] channel planes (same layout as
+    Returns uint8 [B, C, S, 128] channel planes (C=1 luma when
+    cfg.grayscale, else 3 RGB; same layout as
     pallas_raster.render_frames_pallas).
     """
     if interpret is None:
@@ -555,17 +587,18 @@ def render_frames_from_blob(cfg, maps, blob, plan, epb=None,
     if B % epb != 0:
         epb = 8
     assert B % epb == 0 and epb % 8 == 0, (B, epb)
-    kernel = _make_blob_kernel(H, W, plan, epb)
+    C = 1 if cfg.grayscale else 3
+    kernel = _make_blob_kernel(H, W, plan, epb, grayscale=cfg.grayscale)
     grid = (B // epb,)
     return pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((B, 3, S, LANE_N), jnp.uint8),
+        out_shape=jax.ShapeDtypeStruct((B, C, S, LANE_N), jnp.uint8),
         grid=grid,
         in_specs=[
             pl.BlockSpec((epb, nf), lambda b: (b, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((epb, 3, S, LANE_N),
+        out_specs=pl.BlockSpec((epb, C, S, LANE_N),
                                lambda b: (b, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         interpret=interpret,

@@ -629,11 +629,11 @@ def render_frames_pallas(cfg, maps, states, interpret=None):
 
 
 def planes_to_nhwc(cfg, planes):
-    """uint8 [B, 3, S, 128] -> [B, H, W, 3]."""
+    """uint8 [B, C, S, 128] -> [B, H, W, C] (C=3 RGB or 1 luma)."""
     H, W = cfg.camera_height, cfg.camera_width
-    B = planes.shape[0]
-    flat = planes.reshape(B, 3, H * W)
-    return jnp.moveaxis(flat, 1, -1).reshape(B, H, W, 3)
+    B, C = planes.shape[:2]
+    flat = planes.reshape(B, C, H * W)
+    return jnp.moveaxis(flat, 1, -1).reshape(B, H, W, C)
 
 # ---------------------------------------------------------------------
 # Static-scene specialization: for concrete single maps with immobile

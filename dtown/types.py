@@ -200,6 +200,9 @@ class MapArrays:
     obj_mask: Array        # bool [M] (False = padding slot)
     obj_optional: Array    # bool [M]
     obj_is_dynamic: Array  # bool [M] (duckie pedestrians / duckiebots / lights)
+    obj_walk_dist: Array   # f32 [M] duckie walk distance before reversing
+                           # (reference: DuckieObj walk_distance; map yaml
+                           # `walk_distance:` override, default 0.25 m)
 
     # Spawn support
     tile_size: Array       # f32 scalar

@@ -11,8 +11,11 @@ Run: python scripts/perf_probe.py --map loop_obstacles --envs 4096
 from __future__ import annotations
 
 import argparse
-import functools
+import os
 import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+import functools
 import time
 
 import jax
@@ -80,18 +83,20 @@ def main():
 
         @functools.partial(jax.jit, donate_argnums=(0,))
         def run_render(b):
-            def body(b, _):
-                obs = render_frames_from_blob(cfg, maps, b, plan, epb=epb)
-                # keep the kernel live; vary the carry per iter
-                b = b.at[sk.F_RNG].add(
-                    (jnp.sum(obs[:, 0, 0, :], dtype=jnp.int32) % 3
-                     ).astype(jnp.float32) * 1e-9)
-                return b, ()
-            b, _ = jax.lax.scan(body, b, None, length=N)
-            return b
+            # vary the blob per iter WITHOUT a scalar->carry fold (trap:
+            # scalar broadcasts back into the carry serialize at ~ms);
+            # consume each frame through the ys reductions like bench.py
+            def body(b, i):
+                bb = b + i.astype(jnp.float32) * 1e-8
+                obs = render_frames_from_blob(cfg, maps, bb, plan,
+                                              epb=epb)
+                return b, jnp.sum(obs[:, 0, 0, :], dtype=jnp.int32)
+            b, s = jax.lax.scan(body, b, jnp.arange(N), unroll=4)
+            return b, s[-1]
 
-        b2 = run_render(jnp.array(blob))
-        t, b2 = timed(run_render, b2)
+        b2, _ = run_render(jnp.array(blob))
+        t, (b2, _) = timed(lambda c: run_render(c[0]),
+                           (b2, None))
         report["render"] = t / N
         print(f"render: {t/N*1e3:8.3f} ms/iter", file=sys.stderr,
               flush=True)
@@ -104,11 +109,11 @@ def main():
             b, out, obs = fused_step(b, states, actions)
             return b, (out.reward.sum(),
                        jnp.sum(obs[:, 0, 0, :], dtype=jnp.int32))
-        b, _ = jax.lax.scan(body, b, None, length=N, unroll=4)
-        return b
+        b, ys = jax.lax.scan(body, b, None, length=N, unroll=4)
+        return b, ys[0][-1]
 
-    b3 = run_full(jnp.array(blob))
-    t, b3 = timed(run_full, b3)
+    b3, _ = run_full(jnp.array(blob))
+    t, _ = timed(lambda c: run_full(c[0]), (b3, None))
     report["full"] = t / N
     print(f"full  : {t/N*1e3:8.3f} ms/iter", file=sys.stderr, flush=True)
 

@@ -99,3 +99,24 @@ def test_fused_step_uses_blob_renderer():
     ).astype(int)
     diff = np.abs(img.astype(int) - img_x)
     assert diff.mean() < 2.0
+
+
+def test_blob_render_grayscale():
+    """cfg.grayscale renders a single in-kernel luma plane matching the
+    XLA grayscale path."""
+    cfg = EnvConfig(obs_type="rgb", camera_width=64, camera_height=64,
+                    grayscale=True, auto_reset=False)
+    maps = map_loader.load_map("small_loop")
+    plan = build_render_plan(cfg, maps)
+    keys = jax.random.split(jax.random.PRNGKey(6), 8)
+    idx = jnp.zeros((8,), jnp.int32)
+    states = jax.vmap(lambda k, i: env_core.reset(cfg, maps, k, i))(keys, idx)
+    blob = pack_blob(states, maps)
+    planes = render_frames_from_blob(cfg, maps, blob, plan, interpret=True)
+    assert planes.shape == (8, 1, 64 * 64 // 128, 128)
+    img_b = np.asarray(planes_to_nhwc(cfg, planes)).astype(int)
+    img_x = np.asarray(
+        jax.vmap(lambda s: env_core.render_obs(cfg, maps, s))(states)
+    ).astype(int)
+    assert img_x.shape == img_b.shape == (8, 64, 64, 1)
+    assert np.abs(img_b - img_x).mean() < 2.0

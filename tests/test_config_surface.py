@@ -74,21 +74,15 @@ def test_draw_curve_overlay():
 
 def test_draw_bbox_overlay():
     maps = map_loader.load_map("loop_obstacles")
-    base = EnvConfig(obs_type="rgb", camera_width=64, camera_height=64)
+    # place the agent near a known object so its footprint box is in view
+    pose = (1.0, 0.38, 0.0)
+    base = EnvConfig(obs_type="rgb", camera_width=64, camera_height=64,
+                     start_pose=pose)
     dbg = EnvConfig(obs_type="rgb", camera_width=64, camera_height=64,
-                    draw_bbox=True)
-    # place the agent near a known object so its box is in view
-    s = env_core.reset(
-        base.replace if hasattr(base, "replace") else base, maps,
-        jax.random.PRNGKey(3),
-    )
-    import dataclasses
-
-    dbg2 = dataclasses.replace(dbg, start_pose=(1.0, 0.38, 0.0))
-    base2 = dataclasses.replace(base, start_pose=(1.0, 0.38, 0.0))
-    s = env_core.reset(base2, maps, jax.random.PRNGKey(3))
-    img0 = np.asarray(env_core.render_obs(base2, maps, s)).astype(int)
-    img1 = np.asarray(env_core.render_obs(dbg2, maps, s)).astype(int)
+                    start_pose=pose, draw_bbox=True)
+    s = env_core.reset(base, maps, jax.random.PRNGKey(3))
+    img0 = np.asarray(env_core.render_obs(base, maps, s)).astype(int)
+    img1 = np.asarray(env_core.render_obs(dbg, maps, s)).astype(int)
     assert np.abs(img1 - img0).sum() > 0
 
 
