@@ -48,6 +48,7 @@ class CMap(ctypes.Structure):
         ("obj_mask", ctypes.c_uint8 * MAXO),
         ("obj_optional", ctypes.c_uint8 * MAXO),
         ("obj_dynamic", ctypes.c_uint8 * MAXO),
+        ("obj_walk_dist", ctypes.c_double * MAXO),
         ("spawn_pos", ctypes.c_double * (BANK * 3)),
         ("spawn_angle", ctypes.c_double * BANK),
         ("spawn_lane_deg", ctypes.c_double * BANK),
@@ -126,6 +127,8 @@ def compile_map_native(path: str) -> dict:
         obj_mask=arr("obj_mask", (MAXO,), bool, slice(0, M)),
         obj_optional=arr("obj_optional", (MAXO,), bool, slice(0, M)),
         obj_dynamic=arr("obj_dynamic", (MAXO,), bool, slice(0, M)),
+        obj_walk_dist=arr("obj_walk_dist", (MAXO,), np.float64,
+                          slice(0, M)),
         spawn_pos=arr("spawn_pos", (BANK, 3), np.float64, slice(None)),
         spawn_angle=arr("spawn_angle", (BANK,), np.float64, slice(None)),
         spawn_lane_deg=arr("spawn_lane_deg", (BANK,), np.float64, slice(None)),

@@ -17,6 +17,29 @@ from dtown.ops import state_kernel as sk
 from dtown.types import EnvConfig, StepOutput
 
 
+def _opt_bits(maps):
+    """Global optional-object bit layout: [(map_or_None, slot), ...] in
+    map-major mask-column order (the DR_OBJVIS row bit order shared by
+    pack_blob, update_states_from_blob, the state kernel's opt_cols and
+    the render plan's opt_bit)."""
+    import numpy as np
+
+    out = []
+    if maps.tile_kind.ndim == 3:
+        n_maps = int(maps.tile_kind.shape[0])
+        for m in range(n_maps):
+            optional = np.asarray(maps.obj_optional[m])
+            for s in np.nonzero(np.asarray(maps.obj_mask[m]))[0]:
+                if bool(optional[int(s)]):
+                    out.append((m, int(s)))
+    else:
+        optional = np.asarray(maps.obj_optional)
+        for s in np.nonzero(np.asarray(maps.obj_mask))[0]:
+            if bool(optional[int(s)]):
+                out.append((None, int(s)))
+    return out
+
+
 def pack_blob(states, maps=None, domain_rand=False) -> jnp.ndarray:
     """Vmapped EnvState [B] -> blob f32 [NF, B].
 
@@ -45,11 +68,23 @@ def pack_blob(states, maps=None, domain_rand=False) -> jnp.ndarray:
     for i, npc in enumerate(npcs):
         base = sk.F_NPC_BASE + sk.NPC_ROWS * i
         s = npc["slot"]
-        rows = rows.at[base + 0].set(states.dyn.pos[:, s, 0])
-        rows = rows.at[base + 1].set(states.dyn.pos[:, s, 2])
-        rows = rows.at[base + 2].set(states.dyn.angle[:, s])
-        rows = rows.at[base + 3].set(states.dyn.walk_dist[:, s])
-        rows = rows.at[base + 4].set(states.dyn.vel[:, s])
+        vals = (states.dyn.pos[:, s, 0], states.dyn.pos[:, s, 2],
+                states.dyn.angle[:, s], states.dyn.walk_dist[:, s],
+                states.dyn.vel[:, s])
+        if npc.get("map") is not None:
+            # stacked multimap: slot s of an env on another map is a
+            # DIFFERENT object — park foreign envs at this NPC's initial
+            # pose (their rows are junk-by-design, gated in the kernel)
+            from dtown.objects import DUCKIE_WALK_SPEED, DUCKIEBOT_VEL
+
+            on = states.map_idx == npc["map"]
+            v0 = (DUCKIE_WALK_SPEED if npc["kind"] == "duckie"
+                  else DUCKIEBOT_VEL)
+            defaults = (npc["x0"], npc["z0"], npc["a0"], 0.0, float(v0))
+            vals = tuple(jnp.where(on, v, d)
+                         for v, d in zip(vals, defaults))
+        for k, v in enumerate(vals):
+            rows = rows.at[base + k].set(v)
     if domain_rand:
         drb = sk.dr_base(len(npcs))
         rows = rows.at[drb + sk.DR_FOV].set(states.cam_fov_y)
@@ -69,20 +104,19 @@ def pack_blob(states, maps=None, domain_rand=False) -> jnp.ndarray:
         rows = rows.at[drb + sk.DR_TEXSEED].set(
             states.tex_seed.astype(jnp.float32)
         )
-        if maps is not None and maps.tile_kind.ndim == 2:
-            import numpy as np
-
-            optional = np.asarray(maps.obj_optional)
-            cols = np.nonzero(np.asarray(maps.obj_mask))[0]
+        if maps is not None:
+            # global optional-object bit order = concatenated per map in
+            # mask-column order (matches _build_tables_multi opt_cols and
+            # the single-map layout when n_maps == 1). Bits of a foreign
+            # map read the env's same-slot visibility — junk by design,
+            # gated by the kernel/render map tests.
             vis = jnp.zeros((B,), jnp.float32)
             kbit = 0
-            for s in cols:
-                if bool(optional[int(s)]):
-                    vis = vis + jnp.where(
-                        states.obj_visible[:, int(s)], float(1 << kbit),
-                        0.0,
-                    )
-                    kbit += 1
+            for _m, _s in _opt_bits(maps):
+                vis = vis + jnp.where(
+                    states.obj_visible[:, _s], float(1 << kbit), 0.0
+                )
+                kbit += 1
             rows = rows.at[drb + sk.DR_OBJVIS].set(vis)
     return rows
 
@@ -141,35 +175,50 @@ def update_states_from_blob(states, blob, maps=None, domain_rand=False):
             wheel_dist=blob[sk.F_WHEEL_DIST],
         )
         if maps is not None:
-            import numpy as np
-
-            optional = np.asarray(maps.obj_optional)
-            cols = np.nonzero(np.asarray(maps.obj_mask))[0]
             visrow = blob[drb + sk.DR_OBJVIS]
             obj_vis = states.obj_visible
             kbit = 0
-            for s in cols:
-                if bool(optional[int(s)]):
-                    bit = (
-                        jnp.floor(visrow / float(1 << kbit)).astype(
-                            jnp.int32) & 1
-                    ) > 0
-                    obj_vis = obj_vis.at[:, int(s)].set(bit)
-                    kbit += 1
+            for _m, _s in _opt_bits(maps):
+                bit = (
+                    jnp.floor(visrow / float(1 << kbit)).astype(
+                        jnp.int32) & 1
+                ) > 0
+                if _m is not None:
+                    # stacked: only restore slot _s for envs ON map _m
+                    bit = jnp.where(states.map_idx == _m, bit,
+                                    obj_vis[:, _s])
+                obj_vis = obj_vis.at[:, _s].set(bit)
+                kbit += 1
             states = states.replace(obj_visible=obj_vis)
     if npcs:
         pos = dyn.pos
         ang = dyn.angle
         walk = dyn.walk_dist
         vel = dyn.vel
+        mi_s = states.map_idx
         for i, npc in enumerate(npcs):
             base = sk.F_NPC_BASE + sk.NPC_ROWS * i
             s = npc["slot"]
-            pos = pos.at[:, s, 0].set(blob[base + 0])
-            pos = pos.at[:, s, 2].set(blob[base + 1])
-            ang = ang.at[:, s].set(blob[base + 2])
-            walk = walk.at[:, s].set(blob[base + 3])
-            vel = vel.at[:, s].set(blob[base + 4])
+            if npc.get("map") is not None:
+                # stacked multimap: only write slot s for envs that are
+                # ON this NPC's map (two maps can share a slot index)
+                on = mi_s == npc["map"]
+                pos = pos.at[:, s, 0].set(
+                    jnp.where(on, blob[base + 0], pos[:, s, 0]))
+                pos = pos.at[:, s, 2].set(
+                    jnp.where(on, blob[base + 1], pos[:, s, 2]))
+                ang = ang.at[:, s].set(
+                    jnp.where(on, blob[base + 2], ang[:, s]))
+                walk = walk.at[:, s].set(
+                    jnp.where(on, blob[base + 3], walk[:, s]))
+                vel = vel.at[:, s].set(
+                    jnp.where(on, blob[base + 4], vel[:, s]))
+            else:
+                pos = pos.at[:, s, 0].set(blob[base + 0])
+                pos = pos.at[:, s, 2].set(blob[base + 1])
+                ang = ang.at[:, s].set(blob[base + 2])
+                walk = walk.at[:, s].set(blob[base + 3])
+                vel = vel.at[:, s].set(blob[base + 4])
         from dtown.objects import TRAFFICLIGHT_PERIOD
 
         t_env = blob[sk.F_TIME][:, None]
@@ -208,8 +257,12 @@ def template_states(cfg: EnvConfig, maps, num_envs: int):
 
     import jax.random as jrandom
 
+    n_maps = (int(maps.tile_kind.shape[0])
+              if maps.tile_kind.ndim == 3 else 1)
+    m0 = (jax.tree_util.tree_map(lambda a: a[0], maps)
+          if n_maps > 1 else maps)
     rand = randomization.draw(
-        cfg, jrandom.PRNGKey(0), maps.grid_shape, maps.max_objects
+        cfg, jrandom.PRNGKey(0), m0.grid_shape, m0.max_objects
     )
     zero = jnp.zeros((), jnp.float32)
     one_state = EnvState(
@@ -221,12 +274,19 @@ def template_states(cfg: EnvConfig, maps, num_envs: int):
         last_action=jnp.zeros((2,), jnp.float32),
         rng=jrandom.PRNGKey(0),
         map_idx=jnp.zeros((), jnp.int32),
-        dyn=objlib.init_dyn_state(maps),
+        dyn=objlib.init_dyn_state(m0),
         **rand,
     )
-    return jax.tree_util.tree_map(
+    out = jax.tree_util.tree_map(
         lambda a: jnp.broadcast_to(a, (num_envs,) + a.shape), one_state
     )
+    if n_maps > 1:
+        # sticky round-robin assignment, matching init_blob; pose/NPC/DR
+        # fields are overwritten from the blob per step
+        out = out.replace(
+            map_idx=jnp.arange(num_envs, dtype=jnp.int32) % n_maps
+        )
+    return out
 
 
 def obs_from_blob(cfg: EnvConfig, maps, blob, states_template):
@@ -246,9 +306,16 @@ def obs_from_blob(cfg: EnvConfig, maps, blob, states_template):
         from dtown.render.pallas_raster import render_frames_pallas
 
         return render_frames_pallas(cfg, maps, states)
-    lp = jax.vmap(lambda p, a: get_lane_pos2(maps, p, a))(
-        states.pos, states.angle
-    )
+    if maps.tile_kind.ndim == 3:
+        lp = jax.vmap(
+            lambda m, p, a: get_lane_pos2(
+                env_core.select_map(maps, m), p, a
+            )
+        )(states.map_idx, states.pos, states.angle)
+    else:
+        lp = jax.vmap(lambda p, a: get_lane_pos2(maps, p, a))(
+            states.pos, states.angle
+        )
     inlane = lp.in_lane.astype(jnp.float32)
     return jnp.stack(
         [

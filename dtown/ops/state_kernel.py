@@ -82,11 +82,18 @@ def moving_npcs(maps):
     DuckiebotObj (scripted lane follower); TrafficLightObj has a static
     pose (phase-only) and stays in the static object table.
 
-    Stacked multimaps return [] — the fused multimap path requires maps
-    without moving NPCs (make_fused_rollout guards this).
+    Stacked multimaps return the concatenation of every map's NPCs in
+    map-major order; each descriptor carries `map` (its stack index) so
+    blob packing and collision can gate on the env's F_MAPID. Single-map
+    descriptors have map=None.
     """
-    if maps.tile_kind.ndim != 2:
-        return []
+    if maps.tile_kind.ndim == 3:
+        out = []
+        for m in range(int(maps.tile_kind.shape[0])):
+            pm = jax.tree_util.tree_map(lambda a, m=m: a[m], maps)
+            for npc in moving_npcs(pm):
+                out.append(dict(npc, map=m))
+        return out
     mask = (
         np.asarray(maps.obj_mask)
         & np.asarray(maps.obj_is_dynamic)
@@ -109,6 +116,7 @@ def moving_npcs(maps):
             hw=float(hd[s, 0]), hl=float(hd[s, 1]),
             rad=float(rad[s]),
             walk_dist=float(wdist[s]),
+            map=None,
         ))
     return out
 
@@ -498,7 +506,9 @@ def make_state_kernel(cfg, Hg, Wg, n_words, M, n_spawn_ok, bb=None,
                     obj_axes = [(rx_n, rz_n), (fx_n, fz_n)]
                     o_px, o_pz = nx, nz
                     o_rad = npc["rad"]
-                    o_act = True
+                    # stacked multimap: this NPC exists on one map only;
+                    # envs on other maps carry junk in its blob rows
+                    o_act = (mi == col_maps[m]) if multi else True
                     o_dyn = True
                 else:
                     ocx = [ot_ref[OT_CX[2 * i], m] for i in range(4)]
@@ -553,6 +563,11 @@ def make_state_kernel(cfg, Hg, Wg, n_words, M, n_spawn_ok, bb=None,
                     prox_dyn = prox_dyn + jnp.minimum(0.0, score)
                 elif o_act is True:
                     prox_static = jnp.minimum(prox_static, score)
+                elif o_dyn is True:
+                    # moving NPC gated by a traced map test (multimap)
+                    prox_dyn = prox_dyn + jnp.where(
+                        o_act, jnp.minimum(0.0, score), 0.0
+                    )
                 else:
                     prox_static = jnp.where(
                         o_act & ~o_dyn, jnp.minimum(prox_static, score),
@@ -767,16 +782,6 @@ def _build_tables_multi(cfg, maps):
         jax.tree_util.tree_map(lambda a, m=m: a[m], maps)
         for m in range(n_maps)
     ]
-    if any(moving_npcs(pm) for pm in per_map):
-        raise NotImplementedError(
-            "fused multimap with moving NPCs is not supported; drop the "
-            "NPC map from the stack or use the XLA step path"
-        )
-    if cfg.domain_rand:
-        raise NotImplementedError(
-            "fused multimap with domain_rand is not supported yet; use "
-            "the XLA step path or a single map"
-        )
     tabs = [_build_tables_single(cfg, pm) for pm in per_map]
     assert len({t["ts_inv"].item() for t in tabs}) == 1, (
         "stacked maps must share tile_size"
@@ -796,14 +801,23 @@ def _build_tables_multi(cfg, maps):
     words_padded = np.zeros((1, wpad), dtype=np.int32)
     words_padded[0, :wtot] = words
 
-    # object table: concatenated columns; per-column source map recorded
-    ots, col_maps, opt_cols = [], [], []
+    # object table: concatenated columns; per-column source map recorded.
+    # Moving NPCs concatenate too (map-major, matching moving_npcs() on
+    # the stacked maps): column c of map m maps to global NPC index
+    # npc_off[m] + local, and the descriptor carries its map for gating.
+    ots, col_maps, opt_cols, npcs_all, moving_cols = [], [], [], [], []
     col0 = 0
     for m, t in enumerate(tabs):
+        npc_off = len(npcs_all)
+        for npc in t["npcs"]:
+            npcs_all.append(dict(npc, map=m))
         if t["M"]:
             ots.append(t["ot"][:, :t["M"]])
             col_maps.extend([m] * t["M"])
             opt_cols.extend(c + col0 for c in t["opt_cols"])
+            moving_cols.extend(
+                (c + col0, i + npc_off) for c, i in t["moving_cols"]
+            )
             col0 += t["M"]
     M = col0
     ot = (np.concatenate(ots, axis=1) if M
@@ -815,7 +829,8 @@ def _build_tables_multi(cfg, maps):
     return dict(
         ct=ct, words=words_padded, ot=ot, bank=bank,
         n_ok=max(n_ok_list), n_words=wtot, M=M, Hg=Hg, Wg=Wg,
-        ts_inv=t0["ts_inv"], npcs=(), moving_cols=(),
+        ts_inv=t0["ts_inv"], npcs=tuple(npcs_all),
+        moving_cols=tuple(moving_cols),
         opt_cols=tuple(opt_cols),
         multi=dict(n_maps=n_maps, t_pad=T_pad, npw=npw,
                    n_ok_list=n_ok_list, col_maps=tuple(col_maps)),

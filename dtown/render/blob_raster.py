@@ -50,8 +50,9 @@ from dtown.render.pallas_raster import LANE_N, _shade_pixels
 # [B, NF] rows (the TPU block rule requires the trailing block dim to
 # equal the array dim or divide 128, so [NF, epb] columns of the native
 # [NF, B] blob are not addressable); a (EPB, NF) block then needs
-# EPB % 8 == 0.
-EPB = 8
+# EPB % 8 == 0. 16 measured +1.7% over 8 (fewer program boundaries) at
+# 1.089M steps/s on loop_obstacles 64x64 RGB 4096 envs.
+EPB = 16
 
 
 def _scalar_sincos(x):
@@ -82,14 +83,17 @@ def build_render_plan(cfg, maps):
             )
             for m in range(n_maps)
         ]
-        if any(p is None or p["n_npc"] for p in per):
+        if any(p is None for p in per):
             return None
         if any(p["ts_inv"] != per[0]["ts_inv"] for p in per):
+            return None
+        if sum(p["n_npc"] for p in per) > 8:
             return None
         t_pad = per[0]["Hg"] * per[0]["Wg"]
         npw = -(-t_pad // 4)
         words, objs = [], []
         present = frozenset()
+        npc_off = opt_off = 0
         for m, p in enumerate(per):
             assert len(p["words"]) == npw, (len(p["words"]), npw)
             words.extend(p["words"])
@@ -97,12 +101,22 @@ def build_render_plan(cfg, maps):
             for ob in p["objs"]:
                 ob = dict(ob)
                 ob["map"] = m
+                # local per-map NPC / optional-bit indices -> global
+                # (map-major, matching state_kernel._build_tables_multi
+                # and fused_env._opt_bits)
+                if ob["npc_idx"] is not None:
+                    ob["npc_idx"] += npc_off
+                if ob.get("opt_bit") is not None:
+                    ob["opt_bit"] += opt_off
                 objs.append(ob)
+            npc_off += p["n_npc"]
+            opt_off += p["n_opt"]
         if len(objs) > 24:
             return None
         plan = dict(per[0])
         plan.update(
             words=words, n_words=n_maps * npw, present=present, objs=objs,
+            n_npc=npc_off,
             multi=dict(n_maps=n_maps, npw=npw),
         )
         return plan
@@ -213,6 +227,7 @@ def build_render_plan(cfg, maps):
     return dict(
         domain_rand=bool(cfg.domain_rand),
         n_npc=len(npcs),
+        n_opt=kbit,
         multi=None,
         Hg=int(Hg), Wg=int(Wg), n_words=n_words, words=words,
         present=present, ts_inv=1.0 / float(maps.tile_size),

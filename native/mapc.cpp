@@ -95,6 +95,7 @@ struct CMap {
   uint8_t obj_mask[MAXO];
   uint8_t obj_optional[MAXO];
   uint8_t obj_dynamic[MAXO];
+  double obj_walk_dist[MAXO];
   double spawn_pos[BANK * 3];
   double spawn_angle[BANK];
   double spawn_lane_deg[BANK];
@@ -434,6 +435,11 @@ extern "C" int dtown_compile_map(const char* path, CMap* out) {
         f.count("optional") &&
         (f["optional"] == "true" || f["optional"] == "True");
     out->obj_dynamic[m] = dyn;
+    // duckie pedestrian walk distance before reversing (map yaml
+    // `walk_distance:` override; dtown/objects.py DUCKIE_WALK_DISTANCE)
+    out->obj_walk_dist[m] =
+        f.count("walk_distance") ? atof(f["walk_distance"].c_str())
+                                  : 0.25;
     out->obj_safety_rad[m] =
         SAFETY_RAD_MULT * 0.5 * std::hypot(OBJ_DIMS[kid][0],
                                            OBJ_DIMS[kid][2]) * scale;

@@ -36,6 +36,7 @@ def test_native_matches_python(name):
         ("obj_scale", py.obj_scale), ("obj_corners", py.obj_corners),
         ("obj_norms", py.obj_norms), ("obj_safety_rad", py.obj_safety_rad),
         ("obj_halfdims", py.obj_halfdims), ("obj_height", py.obj_height),
+        ("obj_walk_dist", py.obj_walk_dist),
     ]:
         np.testing.assert_allclose(
             nat[f][:M], np.asarray(pyf)[:M], atol=1e-6, err_msg=f
