@@ -37,6 +37,8 @@ def main():
     ap.add_argument("--size", type=int, default=64)
     ap.add_argument("--iters", type=int, default=256)
     ap.add_argument("--obs", default="rgb", choices=["rgb", "state"])
+    ap.add_argument("--grayscale", action="store_true",
+                    help="single in-kernel luma plane (BASELINE config 2)")
     ap.add_argument("--domain-rand", action="store_true")
     ap.add_argument("--no-autoreset", action="store_true")
     ap.add_argument("--no-objects", action="store_true")
@@ -57,6 +59,7 @@ def main():
         obs_type=args.obs,
         camera_width=args.size,
         camera_height=args.size,
+        grayscale=args.grayscale,
         domain_rand=args.domain_rand,
         auto_reset=not args.no_autoreset,
         render_objects=not args.no_objects,
@@ -121,8 +124,9 @@ def main():
             f"{args.iters} x {args.envs} envs in {dt:.3f}s "
             f"({steps_per_s/1e6:.3f} M steps/s) [fused]", file=sys.stderr,
         )
+        obs_tag = "gray" if args.grayscale else args.obs
         print(json.dumps({
-            "metric": f"env_steps_per_s_{args.size}x{args.size}_{args.obs}"
+            "metric": f"env_steps_per_s_{args.size}x{args.size}_{obs_tag}"
                       f"_{args.envs}envs_{args.map}_fused",
             "value": round(steps_per_s, 1),
             "unit": "env-steps/s/chip",

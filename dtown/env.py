@@ -138,18 +138,30 @@ def _bank_spawn(cfg: EnvConfig, maps: MapArrays, dyn_pos, obj_active, key):
         jnp.abs(maps.spawn_lane_deg) < cfg.accept_start_angle_deg
     )
     n_ok = jnp.maximum(jnp.sum(ok.astype(jnp.int32)), 1)
-    NTRY = 4
+    NTRY = 8
     idxs = jax.random.randint(key, (NTRY,), 0, n_ok)
     cand_pos = maps.spawn_pos[idxs]        # [NTRY, 3]
     d = jnp.linalg.norm(
         cand_pos[:, None, :] - dyn_pos[None, :, :], axis=-1
     )  # [NTRY, M]
-    blocked = jnp.any(
-        obj_active[None, :]
-        & (d < (C.MIN_SPAWN_OBJ_DIST + maps.obj_safety_rad[None, :])),
+    # worst clearance margin per candidate vs the live dynamic objects
+    margin = jnp.min(
+        jnp.where(
+            obj_active[None, :],
+            d - (C.MIN_SPAWN_OBJ_DIST + maps.obj_safety_rad[None, :]),
+            jnp.inf,
+        ),
         axis=-1,
     )
-    pick = jnp.argmax(~blocked)  # first clear candidate (or 0)
+    blocked = margin < 0.0
+    # first clear candidate; if every candidate is blocked (dense NPC
+    # traffic), take the least-blocked one instead of silently using
+    # candidate 0 (reference keeps rejection-sampling up to
+    # MAX_SPAWN_ATTEMPTS; a max-margin pick is the bounded-compute
+    # equivalent)
+    pick = jnp.where(
+        jnp.any(~blocked), jnp.argmax(~blocked), jnp.argmax(margin)
+    )
     idx = idxs[pick]
     return maps.spawn_pos[idx], maps.spawn_angle[idx]
 

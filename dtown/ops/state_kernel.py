@@ -660,7 +660,11 @@ def make_state_kernel(cfg, Hg, Wg, n_words, M, n_spawn_ok, bb=None,
             # NPCs re-place at their initial poses on episode reset
             # (reference: Simulator.reset re-places dynamic objects);
             # duckie walk speed redrawn ~N(0.02, 0.005) via the in-kernel
-            # hash PRNG (Irwin-Hall 4-uniform approximation).
+            # hash PRNG (Irwin-Hall 4-uniform approximation). Spawn
+            # clearance vs NPCs needs no in-kernel check BECAUSE of this
+            # re-placement: every bank pose was validated against the
+            # initial NPC poses at build time (spawn_bank.py), which is
+            # exactly where the NPCs stand after this block.
             for i, npc in enumerate(npcs):
                 npc_xs[i] = jnp.where(done, npc["x0"], npc_xs[i])
                 npc_zs[i] = jnp.where(done, npc["z0"], npc_zs[i])

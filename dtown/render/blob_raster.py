@@ -249,6 +249,12 @@ def build_render_plan(cfg, maps):
 def _make_blob_kernel(H, W, plan, epb, grayscale=False):
     """Kernel: blob rows [epb, NF] -> uint8 frames [epb, C, S, 128]
     (C = 1 luma plane under grayscale, else 3 RGB planes)."""
+    import os
+
+    # Per-object lax.cond predication of the object pass. A/B override:
+    # DTOWN_RENDER_PRED=1 forces on, =0 forces off.
+    _p = os.environ.get("DTOWN_RENDER_PRED")
+    pred = _p == "1" if _p in ("0", "1") else bool(plan.get("pred", False))
     S = H * W // LANE_N
     Hg, Wg, n_words = plan["Hg"], plan["Wg"], plan["n_words"]
     words = plan["words"]
@@ -411,6 +417,7 @@ def _make_blob_kernel(H, W, plan, epb, grayscale=False):
                 # scalar->vector boundary outweigh the 1.4x VPU packing,
                 # and this chip has no bf16 EUP or scalar ALU.
 
+            carry = (l_, t_best) if grayscale else (r_, g_, b_, t_best)
             for ob in plan["objs"]:
                 inv_s, sc = ob["inv_s"], ob["scale"]
                 if ob["npc_idx"] is not None:
@@ -456,116 +463,153 @@ def _make_blob_kernel(H, W, plan, epb, grayscale=False):
                         visrow_e * (1.0 / (1 << kbit))
                     ).astype(jnp.int32) & 1
                     act = act & (bit > 0)
-                ex = (eye0 - ox) * inv_s
-                ey = (eye1 - oy) * inv_s
-                ez = (eye2 - oz) * inv_s
-                emx = ex * c_r + ez * s_r
-                emz = ez * c_r - ex * s_r
-                dmx = dx * c_r + dz * s_r
-                dmz = dz * c_r - dx * s_r
-                has_box = any(pr_["is_box"] for pr_ in ob["prims"])
-                if has_box:
-                    def safe_inv(dm):
-                        return 1.0 / jnp.where(
-                            jnp.abs(dm) < 1e-9,
-                            jnp.where(dm >= 0, 1e-9, -1e-9), dm)
 
-                    inv_dmx = safe_inv(dmx)
-                    inv_dmy = safe_inv(dy)
-                    inv_dmz = safe_inv(dmz)
-                if any(not pr_["is_box"] for pr_ in ob["prims"]):
-                    # ray.light in model space, shared by every sphere
-                    # prim of this object: sphere diffuse needs no hit
-                    # point — hit_rel = oc + t*dm with oc a per-env
-                    # SCALAR, so diffuse = -(oc.lm + t*(dm.lm))/radius
-                    # costs 4 vector ops/prim instead of ~13
-                    dl = dmx * lmx + dy * lmy + dmz * lmz
-                # env-level cull folded into the t scale: a culled env
-                # gets t_w ~ 1e30 and every `closer` compare fails, which
-                # drops the per-prim `& act` vector op
-                sc_g = jnp.where(act, jnp.float32(sc), jnp.float32(1e30))
-
-                for pr_ in ob["prims"]:
-                    cx, cy, cz = pr_["center"]
-                    p0, p1, p2 = pr_["param"]
-                    ocx = emx - cx
-                    ocy = ey - cy
-                    ocz = emz - cz
-                    if pr_["is_box"]:
-                        t1 = (-p0 - ocx) * inv_dmx
-                        t2 = (p0 - ocx) * inv_dmx
-                        n1 = jnp.minimum(t1, t2)
-                        x1 = jnp.maximum(t1, t2)
-                        t1 = (-p1 - ocy) * inv_dmy
-                        t2 = (p1 - ocy) * inv_dmy
-                        n2 = jnp.minimum(t1, t2)
-                        x2 = jnp.maximum(t1, t2)
-                        t1 = (-p2 - ocz) * inv_dmz
-                        t2 = (p2 - ocz) * inv_dmz
-                        n3 = jnp.minimum(t1, t2)
-                        x3 = jnp.maximum(t1, t2)
-                        tmin = jnp.maximum(jnp.maximum(n1, n2), n3)
-                        tmax = jnp.minimum(jnp.minimum(x1, x2), x3)
-                        m_in = tmin > 1e-4
-                        t_m = jnp.where(m_in, tmin, tmax)
-                        # (tmax>=tmin & tmax>1e-4) == the usual
-                        # (tmax>=max(tmin,1e-4) & t_m>1e-4): in the entry
-                        # case t_m=tmin>1e-4, in the inside case
-                        # tmax>tmin holds whenever tmax>1e-4>=tmin
-                        hit = (tmax >= tmin) & (tmax > 1e-4)
-                    else:
-                        bq = ocx * dmx + ocy * dy + ocz * dmz
-                        cq = ocx * ocx + ocy * ocy + ocz * ocz - p0 * p0
-                        disc = bq * bq - cq
-                        t_m = -bq - jnp.sqrt(jnp.maximum(disc, 0.0))
-                        hit = (disc > 0.0) & (t_m > 1e-4)
-
-                    t_w = t_m * sc_g
-                    closer = hit & (t_w < t_best)
-
-                    if pr_["is_box"]:
-                        # diffuse from the axis-aligned model normal,
-                        # WITHOUT reconstructing the hit point: for a
-                        # camera outside the box the hit face is the slab
-                        # achieving tmin (the same face the XLA
-                        # renderer's |h_a|/p_a argmax finds — the hit
-                        # point lies ON it), and its outward normal sign
-                        # is -sign(dm_a), so dv = -(n.lm) =
-                        # sign(dm_a)*lm_a. The camera-inside-a-box case
-                        # (reachable only mid-crash into a large object)
-                        # keeps the entry-face shading — sub-frame
-                        # approximation the equivalence tests never see.
-                        xb = (n1 >= n2) & (n1 >= n3)
-                        yb = (n2 >= n3) & (~xb)
-                        wx = jnp.where(dmx >= 0.0, lmx, -lmx)
-                        wy = jnp.where(dy >= 0.0, lmy, -lmy)
-                        wz = jnp.where(dmz >= 0.0, lmz, -lmz)
-                        dv = jnp.where(xb, wx, jnp.where(yb, wy, wz))
-                        diff = jnp.maximum(0.0, dv)
-                    else:
-                        # sphere: normal = hit_rel/p0; see dl above
-                        k1 = ocx * lmx + ocy * lmy + ocz * lmz
-                        diff = jnp.maximum(
-                            0.0, (k1 + t_m * dl) * (-1.0 / max(p0, 1e-9))
-                        )
-                    sh = amb_e + kd_e * diff
-                    if pr_["lamp"]:
-                        green = phase_green > 0
-                        cr_l = jnp.where(green, 0.1, 0.9)
-                        cg_l = jnp.where(green, 0.85, 0.1)
-                        cb_l = jnp.where(green, 0.15, 0.1)
-                    else:
-                        cr_l, cg_l, cb_l = pr_["color"]
+                def obj_pass(carry, ob=ob, ox=ox, oy=oy, oz=oz, s_r=s_r,
+                             c_r=c_r, lmx=lmx, lmy=lmy, lmz=lmz, act=act,
+                             inv_s=inv_s, sc=sc):
                     if grayscale:
-                        # luma-only object pass: one shaded plane select
-                        # per prim instead of three
-                        cl_l = 0.299 * cr_l + 0.587 * cg_l + 0.114 * cb_l
-                        l_ = jnp.where(closer, cl_l * sh, l_)
+                        l_, t_best = carry
                     else:
-                        r_ = jnp.where(closer, cr_l * sh, r_)
-                        g_ = jnp.where(closer, cg_l * sh, g_)
-                        b_ = jnp.where(closer, cb_l * sh, b_)
-                    t_best = jnp.where(closer, t_w, t_best)
+                        r_, g_, b_, t_best = carry
+                    ex = (eye0 - ox) * inv_s
+                    ey = (eye1 - oy) * inv_s
+                    ez = (eye2 - oz) * inv_s
+                    emx = ex * c_r + ez * s_r
+                    emz = ez * c_r - ex * s_r
+                    dmx = dx * c_r + dz * s_r
+                    dmz = dz * c_r - dx * s_r
+                    has_box = any(pr_["is_box"] for pr_ in ob["prims"])
+                    if has_box:
+                        def safe_inv(dm):
+                            return 1.0 / jnp.where(
+                                jnp.abs(dm) < 1e-9,
+                                jnp.where(dm >= 0, 1e-9, -1e-9), dm)
+
+                        inv_dmx = safe_inv(dmx)
+                        inv_dmy = safe_inv(dy)
+                        inv_dmz = safe_inv(dmz)
+                    if any(not pr_["is_box"] for pr_ in ob["prims"]):
+                        # ray.light in model space, shared by every sphere
+                        # prim of this object: sphere diffuse needs no hit
+                        # point — hit_rel = oc + t*dm with oc a per-env
+                        # SCALAR, so diffuse = -(oc.lm + t*(dm.lm))/radius
+                        # costs 4 vector ops/prim instead of ~13
+                        dl = dmx * lmx + dy * lmy + dmz * lmz
+                    if pred:
+                        # predicated path: this body only runs when act
+                        # is true, so no gate is needed in the t scale
+                        sc_g = jnp.float32(sc)
+                    else:
+                        # env-level cull folded into the t scale: a
+                        # culled env gets t_w ~ 1e30 and every `closer`
+                        # compare fails, dropping the per-prim `& act`
+                        sc_g = jnp.where(act, jnp.float32(sc),
+                                         jnp.float32(1e30))
+
+                    for pr_ in ob["prims"]:
+                        cx, cy, cz = pr_["center"]
+                        p0, p1, p2 = pr_["param"]
+                        ocx = emx - cx
+                        ocy = ey - cy
+                        ocz = emz - cz
+                        if pr_["is_box"]:
+                            t1 = (-p0 - ocx) * inv_dmx
+                            t2 = (p0 - ocx) * inv_dmx
+                            n1 = jnp.minimum(t1, t2)
+                            x1 = jnp.maximum(t1, t2)
+                            t1 = (-p1 - ocy) * inv_dmy
+                            t2 = (p1 - ocy) * inv_dmy
+                            n2 = jnp.minimum(t1, t2)
+                            x2 = jnp.maximum(t1, t2)
+                            t1 = (-p2 - ocz) * inv_dmz
+                            t2 = (p2 - ocz) * inv_dmz
+                            n3 = jnp.minimum(t1, t2)
+                            x3 = jnp.maximum(t1, t2)
+                            tmin = jnp.maximum(jnp.maximum(n1, n2), n3)
+                            tmax = jnp.minimum(jnp.minimum(x1, x2), x3)
+                            m_in = tmin > 1e-4
+                            t_m = jnp.where(m_in, tmin, tmax)
+                            # (tmax>=tmin & tmax>1e-4) == the usual
+                            # (tmax>=max(tmin,1e-4) & t_m>1e-4): entry
+                            # case t_m=tmin>1e-4; inside case tmax>tmin
+                            # holds whenever tmax>1e-4>=tmin
+                            hit = (tmax >= tmin) & (tmax > 1e-4)
+                        else:
+                            bq = ocx * dmx + ocy * dy + ocz * dmz
+                            cq = (ocx * ocx + ocy * ocy + ocz * ocz
+                                  - p0 * p0)
+                            disc = bq * bq - cq
+                            t_m = -bq - jnp.sqrt(jnp.maximum(disc, 0.0))
+                            hit = (disc > 0.0) & (t_m > 1e-4)
+
+                        t_w = t_m * sc_g
+                        closer = hit & (t_w < t_best)
+
+                        if pr_["is_box"]:
+                            # diffuse from the axis-aligned model normal,
+                            # WITHOUT reconstructing the hit point: for a
+                            # camera outside the box the hit face is the
+                            # slab achieving tmin (the same face the XLA
+                            # renderer's |h_a|/p_a argmax finds — the hit
+                            # point lies ON it), and its outward normal
+                            # sign is -sign(dm_a), so dv = -(n.lm) =
+                            # sign(dm_a)*lm_a. The camera-inside-a-box
+                            # case (reachable only mid-crash into a large
+                            # object) keeps the entry-face shading —
+                            # sub-frame approximation the equivalence
+                            # tests never see.
+                            xb = (n1 >= n2) & (n1 >= n3)
+                            yb = (n2 >= n3) & (~xb)
+                            wx = jnp.where(dmx >= 0.0, lmx, -lmx)
+                            wy = jnp.where(dy >= 0.0, lmy, -lmy)
+                            wz = jnp.where(dmz >= 0.0, lmz, -lmz)
+                            dv = jnp.where(xb, wx, jnp.where(yb, wy, wz))
+                            diff = jnp.maximum(0.0, dv)
+                        else:
+                            # sphere: normal = hit_rel/p0; see dl above
+                            k1 = ocx * lmx + ocy * lmy + ocz * lmz
+                            diff = jnp.maximum(
+                                0.0,
+                                (k1 + t_m * dl) * (-1.0 / max(p0, 1e-9)),
+                            )
+                        sh = amb_e + kd_e * diff
+                        if pr_["lamp"]:
+                            green = phase_green > 0
+                            cr_l = jnp.where(green, 0.1, 0.9)
+                            cg_l = jnp.where(green, 0.85, 0.1)
+                            cb_l = jnp.where(green, 0.15, 0.1)
+                        else:
+                            cr_l, cg_l, cb_l = pr_["color"]
+                        if grayscale:
+                            # luma-only object pass: one shaded plane
+                            # select per prim instead of three
+                            cl_l = (0.299 * cr_l + 0.587 * cg_l
+                                    + 0.114 * cb_l)
+                            l_ = jnp.where(closer, cl_l * sh, l_)
+                        else:
+                            r_ = jnp.where(closer, cr_l * sh, r_)
+                            g_ = jnp.where(closer, cg_l * sh, g_)
+                            b_ = jnp.where(closer, cb_l * sh, b_)
+                        t_best = jnp.where(closer, t_w, t_best)
+                    return ((l_, t_best) if grayscale
+                            else (r_, g_, b_, t_best))
+
+                if pred:
+                    # Skip the whole object when this env culls it.
+                    # MEASURED round 2: a 28-32% LOSS on BOTH udem1
+                    # (430k vs 632k) and loop_obstacles (789k vs 1089k)
+                    # — the cond boundary rematerializes the 4 carried
+                    # pixel planes, which costs more than the skipped
+                    # work even at udem1's high cull rates. Kept behind
+                    # DTOWN_RENDER_PRED purely as the recorded negative
+                    # result; straight-line masked code is the default.
+                    carry = jax.lax.cond(act, obj_pass, lambda c: c, carry)
+                else:
+                    carry = obj_pass(carry)
+            if grayscale:
+                l_, t_best = carry
+            else:
+                r_, g_, b_, t_best = carry
 
             def to_u8(xv):
                 return (jnp.clip(xv, 0.0, 1.0) * 255.0 + 0.5).astype(
@@ -598,7 +642,13 @@ def render_frames_from_blob(cfg, maps, blob, plan, epb=None,
     import os
 
     nf, B = blob.shape
-    epb = epb or int(os.environ.get("DTOWN_EPB", "0")) or EPB
+    # EPB 16 amortizes per-program cost on small scenes (+1.7% on
+    # loop_obstacles' 18 prims) but LOSES 13% on udem1's ~35 prims (the
+    # 16x-unrolled object pass overflows the scheduling window) — pick
+    # per scene.
+    n_prims = sum(len(ob["prims"]) for ob in plan["objs"])
+    auto_epb = EPB if n_prims <= 24 else 8
+    epb = epb or int(os.environ.get("DTOWN_EPB", "0")) or auto_epb
     if B % epb != 0:
         epb = 8
     assert B % epb == 0 and epb % 8 == 0, (B, epb)
