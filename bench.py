@@ -35,6 +35,10 @@ def main():
     ap.add_argument("--map", default="loop_obstacles")
     ap.add_argument("--envs", type=int, default=4096)
     ap.add_argument("--size", type=int, default=64)
+    ap.add_argument("--width", type=int, default=0,
+                    help="camera width override (default: --size)")
+    ap.add_argument("--height", type=int, default=0,
+                    help="camera height override (default: --size)")
     ap.add_argument("--iters", type=int, default=256)
     ap.add_argument("--obs", default="rgb", choices=["rgb", "state"])
     ap.add_argument("--grayscale", action="store_true",
@@ -55,10 +59,11 @@ def main():
                          "while-loop overhead)")
     args = ap.parse_args()
 
+    W_, H_ = args.width or args.size, args.height or args.size
     cfg = EnvConfig(
         obs_type=args.obs,
-        camera_width=args.size,
-        camera_height=args.size,
+        camera_width=W_,
+        camera_height=H_,
         grayscale=args.grayscale,
         domain_rand=args.domain_rand,
         auto_reset=not args.no_autoreset,
@@ -126,7 +131,7 @@ def main():
         )
         obs_tag = "gray" if args.grayscale else args.obs
         print(json.dumps({
-            "metric": f"env_steps_per_s_{args.size}x{args.size}_{obs_tag}"
+            "metric": f"env_steps_per_s_{W_}x{H_}_{obs_tag}"
                       f"_{args.envs}envs_{args.map}_fused",
             "value": round(steps_per_s, 1),
             "unit": "env-steps/s/chip",
@@ -155,7 +160,7 @@ def main():
     )
 
     print(json.dumps({
-        "metric": f"env_steps_per_s_{args.size}x{args.size}_{args.obs}_{args.envs}envs_{args.map}",
+        "metric": f"env_steps_per_s_{W_}x{H_}_{args.obs}_{args.envs}envs_{args.map}",
         "value": round(steps_per_s, 1),
         "unit": "env-steps/s/chip",
         "vs_baseline": round(steps_per_s / REFERENCE_STEPS_PER_S, 2),

@@ -62,6 +62,27 @@ def _scalar_sincos(x):
     return sincos(x)
 
 
+def pack_tile_words(kind, ang):
+    """Pack flattened tile (kind, angle) grids into int32 words, 4 tiles
+    per word: byte = kind | angle<<4, little-endian within the word.
+    The render kernel's select chain consumes these; the native map
+    compiler (native/mapc.cpp tile_words) bakes the identical packing —
+    tests/test_native.py cross-checks the two bit-for-bit."""
+    kind = np.asarray(kind).reshape(-1).astype(np.int64)
+    ang = np.asarray(ang).reshape(-1).astype(np.int64)
+    byte = (kind & 0xF) | ((ang & 0x3) << 4)
+    n_tiles = byte.shape[0]
+    n_words = -(-n_tiles // 4)
+    b = np.zeros(n_words * 4, dtype=np.int64)
+    b[:n_tiles] = byte
+    b4 = b.reshape(n_words, 4)
+    words = (
+        b4[:, 0] | (b4[:, 1] << 8) | (b4[:, 2] << 16) | (b4[:, 3] << 24)
+    ).astype(np.int64)
+    # int32 constants (avoid uint wrap issues in jnp.where immediates)
+    return [int(np.int32(w)) for w in words]
+
+
 def build_render_plan(cfg, maps):
     """Bake the full static scene plan, or None if ineligible.
 
@@ -154,17 +175,8 @@ def build_render_plan(cfg, maps):
     # packed tile words as python ints (variant 0 fast path)
     kind = np.asarray(maps.tile_kind).reshape(-1).astype(np.int64)
     ang = np.asarray(maps.tile_angle).reshape(-1).astype(np.int64)
-    byte = (kind & 0xF) | ((ang & 0x3) << 4)
-    n_tiles = byte.shape[0]
-    n_words = -(-n_tiles // 4)
-    b = np.zeros(n_words * 4, dtype=np.int64)
-    b[:n_tiles] = byte
-    b4 = b.reshape(n_words, 4)
-    words = (
-        b4[:, 0] | (b4[:, 1] << 8) | (b4[:, 2] << 16) | (b4[:, 3] << 24)
-    ).astype(np.int64)
-    # int32 constants (avoid uint wrap issues in jnp.where immediates)
-    words = [int(np.int32(w)) for w in words]
+    words = pack_tile_words(kind, ang)
+    n_words = len(words)
 
     present = frozenset(int(x) for x in np.unique(kind))
 
@@ -246,9 +258,13 @@ def build_render_plan(cfg, maps):
     )
 
 
-def _make_blob_kernel(H, W, plan, epb, grayscale=False):
+def _make_blob_kernel(H, W, plan, epb, grayscale=False, s_blk=None):
     """Kernel: blob rows [epb, NF] -> uint8 frames [epb, C, S, 128]
-    (C = 1 luma plane under grayscale, else 3 RGB planes)."""
+    (C = 1 luma plane under grayscale, else 3 RGB planes).
+
+    s_blk < S tiles the frame over a second grid dimension (pixel-row
+    blocks): each program renders s_blk of the S sublane rows, keeping
+    VMEM bounded at the reference's native 640x480 (S = 2400)."""
     import os
 
     # Per-object lax.cond predication of the object pass. A/B override:
@@ -256,6 +272,8 @@ def _make_blob_kernel(H, W, plan, epb, grayscale=False):
     _p = os.environ.get("DTOWN_RENDER_PRED")
     pred = _p == "1" if _p in ("0", "1") else bool(plan.get("pred", False))
     S = H * W // LANE_N
+    s_blk = s_blk or S
+    tiled = s_blk != S
     Hg, Wg, n_words = plan["Hg"], plan["Wg"], plan["n_words"]
     words = plan["words"]
     present = plan["present"]
@@ -282,8 +300,10 @@ def _make_blob_kernel(H, W, plan, epb, grayscale=False):
     def kernel(blob_ref, out_ref):
         # blob_ref: transposed blob rows [epb, NF]
         f32 = jnp.float32
-        yy = jax.lax.broadcasted_iota(jnp.int32, (S, LANE_N), 0)
-        ll = jax.lax.broadcasted_iota(jnp.int32, (S, LANE_N), 1)
+        yy = jax.lax.broadcasted_iota(jnp.int32, (s_blk, LANE_N), 0)
+        ll = jax.lax.broadcasted_iota(jnp.int32, (s_blk, LANE_N), 1)
+        if tiled:
+            yy = yy + pl.program_id(1) * s_blk
         p = yy * LANE_N + ll
         y = p // W
         x = p - y * W
@@ -653,18 +673,38 @@ def render_frames_from_blob(cfg, maps, blob, plan, epb=None,
         epb = 8
     assert B % epb == 0 and epb % 8 == 0, (B, epb)
     C = 1 if cfg.grayscale else 3
-    kernel = _make_blob_kernel(H, W, plan, epb, grayscale=cfg.grayscale)
-    grid = (B // epb,)
+    # Frame row-tiling: above ~256 sublane rows per plane (64x64 has 32;
+    # 640x480 has 2400) the per-program f32 working planes would blow
+    # VMEM, so the frame splits over a second grid dimension. The env
+    # block is the outer grid dim, so the blob input block stays
+    # resident across a frame's row blocks.
+    s_blk = S
+    if S > 256:
+        for cand in range(256, 7, -8):
+            if S % cand == 0:
+                s_blk = cand
+                break
+    kernel = _make_blob_kernel(H, W, plan, epb, grayscale=cfg.grayscale,
+                               s_blk=s_blk)
+    if s_blk == S:
+        grid = (B // epb,)
+        in_specs = [pl.BlockSpec((epb, nf), lambda b: (b, 0),
+                                 memory_space=pltpu.VMEM)]
+        out_spec = pl.BlockSpec((epb, C, S, LANE_N),
+                                lambda b: (b, 0, 0, 0),
+                                memory_space=pltpu.VMEM)
+    else:
+        grid = (B // epb, S // s_blk)
+        in_specs = [pl.BlockSpec((epb, nf), lambda b, sb: (b, 0),
+                                 memory_space=pltpu.VMEM)]
+        out_spec = pl.BlockSpec((epb, C, s_blk, LANE_N),
+                                lambda b, sb: (b, 0, sb, 0),
+                                memory_space=pltpu.VMEM)
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((B, C, S, LANE_N), jnp.uint8),
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((epb, nf), lambda b: (b, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((epb, C, S, LANE_N),
-                               lambda b: (b, 0, 0, 0),
-                               memory_space=pltpu.VMEM),
+        in_specs=in_specs,
+        out_specs=out_spec,
         interpret=interpret,
     )(blob.T)

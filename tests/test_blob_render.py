@@ -120,3 +120,28 @@ def test_blob_render_grayscale():
     ).astype(int)
     assert img_x.shape == img_b.shape == (8, 64, 64, 1)
     assert np.abs(img_b - img_x).mean() < 2.0
+
+
+def test_blob_render_row_tiled():
+    """Resolutions with S > 256 sublane rows split the frame over a
+    second grid dimension (VMEM-bounded path to the reference's native
+    640x480); the tiled result must match the XLA renderer like any
+    other shape."""
+    cfg = EnvConfig(obs_type="rgb", camera_width=256, camera_height=192,
+                    auto_reset=False)
+    maps = map_loader.load_map("small_loop")
+    plan = build_render_plan(cfg, maps)
+    assert plan is not None
+    S = 256 * 192 // 128
+    assert S > 256  # actually exercises the tiled path
+    keys = jax.random.split(jax.random.PRNGKey(9), 8)
+    idx = jnp.zeros((8,), jnp.int32)
+    states = jax.vmap(lambda k, i: env_core.reset(cfg, maps, k, i))(keys, idx)
+    blob = pack_blob(states, maps)
+    planes = render_frames_from_blob(cfg, maps, blob, plan, interpret=True)
+    assert planes.shape == (8, 3, S, 128)
+    img_b = np.asarray(planes_to_nhwc(cfg, planes)).astype(int)
+    img_x = np.asarray(
+        jax.vmap(lambda s: env_core.render_obs(cfg, maps, s))(states)
+    ).astype(int)
+    assert np.abs(img_b - img_x).mean() < 2.0
