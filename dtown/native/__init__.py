@@ -22,6 +22,7 @@ MAXG = 32
 MAXC = 12
 MAXO = 64
 BANK = 2048
+MAXW = (MAXG * MAXG + 3) // 4
 
 
 class CMap(ctypes.Structure):
@@ -53,6 +54,8 @@ class CMap(ctypes.Structure):
         ("spawn_angle", ctypes.c_double * BANK),
         ("spawn_lane_deg", ctypes.c_double * BANK),
         ("spawn_mask", ctypes.c_uint8 * BANK),
+        ("n_words", ctypes.c_int32),
+        ("tile_words", ctypes.c_int32 * MAXW),
     ]
 
 
@@ -133,4 +136,7 @@ def compile_map_native(path: str) -> dict:
         spawn_angle=arr("spawn_angle", (BANK,), np.float64, slice(None)),
         spawn_lane_deg=arr("spawn_lane_deg", (BANK,), np.float64, slice(None)),
         spawn_mask=arr("spawn_mask", (BANK,), bool, slice(None)),
+        n_words=int(out.n_words),
+        tile_words=arr("tile_words", (MAXW,), np.int32,
+                       slice(0, out.n_words)),
     )

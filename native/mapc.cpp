@@ -35,6 +35,7 @@ constexpr int MAXC = 12;        // max curves per tile
 constexpr int MAXO = 64;        // max objects
 constexpr int BANK = 2048;      // spawn bank size
 constexpr int PROPOSALS = 40000;
+constexpr int MAXW = (MAXG * MAXG + 3) / 4;  // packed tile words
 
 // ---- constants (dtown/constants.py §2.2a) ----------------------------
 constexpr double LANE = 0.20;
@@ -100,6 +101,11 @@ struct CMap {
   double spawn_angle[BANK];
   double spawn_lane_deg[BANK];
   uint8_t spawn_mask[BANK];
+  // packed tile words for the render kernel's select chain: 4 tiles per
+  // int32, byte = kind | angle<<4, little-endian, flattened over the
+  // map's actual H*W grid (dtown/render/blob_raster.py::pack_tile_words)
+  int32_t n_words;
+  int32_t tile_words[MAXW];
 };
 
 // ---------------------------------------------------------------------
@@ -386,6 +392,19 @@ extern "C" int dtown_compile_map(const char* path, CMap* out) {
     }
   }
 
+  // ---- packed tile words (render-kernel scene baking) ----
+  {
+    int n_tiles = H * W;
+    out->n_words = (n_tiles + 3) / 4;
+    for (int t = 0; t < n_tiles; ++t) {
+      int j = t / W, i = t % W;
+      int g = j * MAXG + i;
+      uint32_t byte = (uint32_t)((out->tile_kind[g] & 0xF) |
+                                 ((out->tile_angle[g] & 0x3) << 4));
+      out->tile_words[t >> 2] |= (int32_t)(byte << ((t & 3) * 8));
+    }
+  }
+
   // ---- objects ----
   int n_obj = (int)spec.objects.size();
   if (n_obj > MAXO) return 5;
@@ -585,4 +604,4 @@ extern "C" int dtown_compile_map(const char* path, CMap* out) {
 }
 
 extern "C" int dtown_mapc_sizeof() { return (int)sizeof(CMap); }
-extern "C" int dtown_mapc_abi_version() { return 1; }
+extern "C" int dtown_mapc_abi_version() { return 2; }

@@ -47,6 +47,14 @@ def test_native_matches_python(name):
     np.testing.assert_array_equal(
         nat["obj_dynamic"][:M], np.asarray(py.obj_is_dynamic)[:M]
     )
+    # packed render-kernel tile words match the python packing exactly
+    from dtown.render.blob_raster import pack_tile_words
+
+    words_py = pack_tile_words(py.tile_kind, py.tile_angle)
+    assert nat["n_words"] == len(words_py)
+    np.testing.assert_array_equal(
+        nat["tile_words"], np.asarray(words_py, np.int64).astype(np.int32)
+    )
 
 
 @pytest.mark.parametrize("name", ["small_loop", "udem1"])
