@@ -258,6 +258,70 @@ def build_render_plan(cfg, maps):
     )
 
 
+def _bound_radius(ob):
+    """Conservative world-space bounding radius of an object's prims
+    around its position (model extents scaled by the object scale)."""
+    r = 0.0
+    for pr in ob["prims"]:
+        c, p = pr["center"], pr["param"]
+        pr_r = (math.sqrt(p[0] * p[0] + p[1] * p[1] + p[2] * p[2])
+                if pr["is_box"] else p[0])
+        r = max(r, math.sqrt(c[0] ** 2 + c[1] ** 2 + c[2] ** 2) + pr_r)
+    return r * ob["scale"]
+
+
+def _build_clusters(objs, max_per):
+    """Group static objects into spatial clusters of <= max_per by
+    recursive widest-axis median splits (per map id for stacks); moving
+    NPCs become singleton clusters (their pose — and hence the cluster
+    visibility test — is read from the blob at render time)."""
+    from collections import defaultdict
+
+    groups = []
+    bymap = defaultdict(list)
+    for o in objs:
+        if o["npc_idx"] is None:
+            bymap[o.get("map")].append(o)
+
+    def split(group):
+        if len(group) <= max_per:
+            groups.append(group)
+            return
+        xs = [o["pos"][0] for o in group]
+        zs = [o["pos"][2] for o in group]
+        ax = 0 if (max(xs) - min(xs)) >= (max(zs) - min(zs)) else 2
+        group = sorted(group, key=lambda o: o["pos"][ax])
+        mid = len(group) // 2
+        split(group[:mid])
+        split(group[mid:])
+
+    for _, obs_m in sorted(
+        bymap.items(), key=lambda kv: -1 if kv[0] is None else kv[0]
+    ):
+        split(obs_m)
+    for o in objs:
+        if o["npc_idx"] is not None:
+            groups.append([o])
+    return groups
+
+
+def _cluster_bounds(group):
+    """(center_x, center_z, r_centers, r_vis): r_centers bounds member
+    POSITIONS (for the cull-distance test), r_vis additionally bounds
+    member geometry (for the view half-plane test)."""
+    xs = [o["pos"][0] for o in group]
+    zs = [o["pos"][2] for o in group]
+    cx = 0.5 * (max(xs) + min(xs))
+    cz = 0.5 * (max(zs) + min(zs))
+    r_c = 0.0
+    r_v = 0.0
+    for o in group:
+        d = math.hypot(o["pos"][0] - cx, o["pos"][2] - cz)
+        r_c = max(r_c, d)
+        r_v = max(r_v, d + _bound_radius(o))
+    return cx, cz, r_c, r_v
+
+
 def _make_blob_kernel(H, W, plan, epb, grayscale=False, s_blk=None):
     """Kernel: blob rows [epb, NF] -> uint8 frames [epb, C, S, 128]
     (C = 1 luma plane under grayscale, else 3 RGB planes).
@@ -271,6 +335,17 @@ def _make_blob_kernel(H, W, plan, epb, grayscale=False, s_blk=None):
     # DTOWN_RENDER_PRED=1 forces on, =0 forces off.
     _p = os.environ.get("DTOWN_RENDER_PRED")
     pred = _p == "1" if _p in ("0", "1") else bool(plan.get("pred", False))
+    # Spatial-cluster lax.cond predication of the object pass: groups of
+    # <= N objects are skipped per env when the whole cluster is out of
+    # cull range or behind the camera's view half-plane (conservative —
+    # rendering is unchanged). Amortizes the cond carry-rematerialization
+    # cost that made PER-OBJECT predication a loss. Value = max objects
+    # per cluster; 0/unset = off.
+    _c = os.environ.get("DTOWN_RENDER_CLUSTER")
+    cluster_sz = (int(_c) if _c is not None
+                  else int(plan.get("cluster", 0) or 0))
+    if pred:
+        cluster_sz = 0
     S = H * W // LANE_N
     s_blk = s_blk or S
     tiled = s_blk != S
@@ -436,9 +511,35 @@ def _make_blob_kernel(H, W, plan, epb, grayscale=False, s_blk=None):
                 # measured 17% SLOWER on this target: the casts at every
                 # scalar->vector boundary outweigh the 1.4x VPU packing,
                 # and this chip has no bf16 EUP or scalar ALU.
+                if any(not pr_["is_box"] for ob_ in plan["objs"]
+                       for pr_ in ob_["prims"]):
+                    # ray.light_world, shared by EVERY sphere prim of
+                    # every object: spheres intersect in WORLD space
+                    # (rotation-invariant), so neither the ray nor the
+                    # light needs a per-object model rotation, and
+                    # diffuse = -(oc.lw + t*(d.lw))/R_world
+                    dlw = dx * lwx_e + dy * lwy_e + dz * lwz_e
 
-            carry = (l_, t_best) if grayscale else (r_, g_, b_, t_best)
-            for ob in plan["objs"]:
+            if grayscale:
+                carry = (l_, t_best)
+            else:
+                # RGB object pass carries ONE packed-color int plane
+                # (0xRRGGBB, -1 = no object) + a shading plane instead of
+                # three color planes: each prim update is then 2 selects
+                # (packed const, sh) instead of 3 muls + 3 selects, and
+                # the color decode happens once after the loop. 8-bit
+                # color quantization is < 0.5 uint8 LSB after shading.
+                pk_ = jnp.full((s_blk, LANE_N), -1, jnp.int32)
+                sh_ = jnp.zeros((s_blk, LANE_N), f32)
+                carry = (pk_, sh_, t_best)
+            if cluster_sz:
+                groups = _build_clusters(plan["objs"], cluster_sz)
+            else:
+                groups = [plan["objs"]]
+            g_passes = [[] for _ in groups]
+            g_npc = [None] * len(groups)
+            for gi, ob in [(gi_, ob_) for gi_, g_ in enumerate(groups)
+                           for ob_ in g_]:
                 inv_s, sc = ob["inv_s"], ob["scale"]
                 if ob["npc_idx"] is not None:
                     # moving NPC: pose scalars from the blob NPC rows
@@ -490,16 +591,19 @@ def _make_blob_kernel(H, W, plan, epb, grayscale=False, s_blk=None):
                     if grayscale:
                         l_, t_best = carry
                     else:
-                        r_, g_, b_, t_best = carry
-                    ex = (eye0 - ox) * inv_s
-                    ey = (eye1 - oy) * inv_s
-                    ez = (eye2 - oz) * inv_s
-                    emx = ex * c_r + ez * s_r
-                    emz = ez * c_r - ex * s_r
-                    dmx = dx * c_r + dz * s_r
-                    dmz = dz * c_r - dx * s_r
+                        pk_, sh_, t_best = carry
                     has_box = any(pr_["is_box"] for pr_ in ob["prims"])
                     if has_box:
+                        # boxes are rotation-sensitive: intersect in
+                        # MODEL space (rotate eye + ray per object)
+                        ex = (eye0 - ox) * inv_s
+                        ey = (eye1 - oy) * inv_s
+                        ez = (eye2 - oz) * inv_s
+                        emx = ex * c_r + ez * s_r
+                        emz = ez * c_r - ex * s_r
+                        dmx = dx * c_r + dz * s_r
+                        dmz = dz * c_r - dx * s_r
+
                         def safe_inv(dm):
                             return 1.0 / jnp.where(
                                 jnp.abs(dm) < 1e-9,
@@ -508,31 +612,33 @@ def _make_blob_kernel(H, W, plan, epb, grayscale=False, s_blk=None):
                         inv_dmx = safe_inv(dmx)
                         inv_dmy = safe_inv(dy)
                         inv_dmz = safe_inv(dmz)
-                    if any(not pr_["is_box"] for pr_ in ob["prims"]):
-                        # ray.light in model space, shared by every sphere
-                        # prim of this object: sphere diffuse needs no hit
-                        # point — hit_rel = oc + t*dm with oc a per-env
-                        # SCALAR, so diffuse = -(oc.lm + t*(dm.lm))/radius
-                        # costs 4 vector ops/prim instead of ~13
-                        dl = dmx * lmx + dy * lmy + dmz * lmz
+                        # axis-aligned diffuse weights, hoisted out of
+                        # the prim loop (dm signs are per OBJECT):
+                        # dv_axis = sign(dm_a)*lm_a for the hit face
+                        wx = jnp.where(dmx >= 0.0, lmx, -lmx)
+                        wy = jnp.where(dy >= 0.0, lmy, -lmy)
+                        wz = jnp.where(dmz >= 0.0, lmz, -lmz)
                     if pred:
                         # predicated path: this body only runs when act
                         # is true, so no gate is needed in the t scale
                         sc_g = jnp.float32(sc)
+                        g_sph = jnp.float32(1.0)
                     else:
                         # env-level cull folded into the t scale: a
                         # culled env gets t_w ~ 1e30 and every `closer`
                         # compare fails, dropping the per-prim `& act`
                         sc_g = jnp.where(act, jnp.float32(sc),
                                          jnp.float32(1e30))
+                        g_sph = jnp.where(act, jnp.float32(1.0),
+                                          jnp.float32(1e30))
 
                     for pr_ in ob["prims"]:
                         cx, cy, cz = pr_["center"]
                         p0, p1, p2 = pr_["param"]
-                        ocx = emx - cx
-                        ocy = ey - cy
-                        ocz = emz - cz
                         if pr_["is_box"]:
+                            ocx = emx - cx
+                            ocy = ey - cy
+                            ocz = emz - cz
                             t1 = (-p0 - ocx) * inv_dmx
                             t2 = (p0 - ocx) * inv_dmx
                             n1 = jnp.minimum(t1, t2)
@@ -554,16 +660,31 @@ def _make_blob_kernel(H, W, plan, epb, grayscale=False, s_blk=None):
                             # case t_m=tmin>1e-4; inside case tmax>tmin
                             # holds whenever tmax>1e-4>=tmin
                             hit = (tmax >= tmin) & (tmax > 1e-4)
+                            t_w = t_m * sc_g
+                            closer = hit & (t_w < t_best)
                         else:
-                            bq = ocx * dmx + ocy * dy + ocz * dmz
+                            # WORLD-space sphere: no per-object ray/light
+                            # rotation. World center from the baked model
+                            # center (python-float folded when static,
+                            # scalar ops for NPC poses); world radius
+                            # R = p0*sc so t is world units directly.
+                            cwx = ox + sc * (cx * c_r - cz * s_r)
+                            cwy = oy + sc * cy
+                            cwz = oz + sc * (cx * s_r + cz * c_r)
+                            rw = p0 * sc
+                            ocx = eye0 - cwx
+                            ocy = eye1 - cwy
+                            ocz = eye2 - cwz
+                            bq = ocx * dx + ocy * dy + ocz * dz
                             cq = (ocx * ocx + ocy * ocy + ocz * ocz
-                                  - p0 * p0)
+                                  - rw * rw)
                             disc = bq * bq - cq
-                            t_m = -bq - jnp.sqrt(jnp.maximum(disc, 0.0))
-                            hit = (disc > 0.0) & (t_m > 1e-4)
-
-                        t_w = t_m * sc_g
-                        closer = hit & (t_w < t_best)
+                            # no max(disc,0)/disc>0: a miss makes
+                            # sqrt(disc) NaN, every compare below is
+                            # then false and the selects keep the carry
+                            t_m = -bq - jnp.sqrt(disc)
+                            t_w = t_m * g_sph
+                            closer = (t_m > 1e-4) & (t_w < t_best)
 
                         if pr_["is_box"]:
                             # diffuse from the axis-aligned model normal,
@@ -580,26 +701,42 @@ def _make_blob_kernel(H, W, plan, epb, grayscale=False, s_blk=None):
                             # tests never see.
                             xb = (n1 >= n2) & (n1 >= n3)
                             yb = (n2 >= n3) & (~xb)
-                            wx = jnp.where(dmx >= 0.0, lmx, -lmx)
-                            wy = jnp.where(dy >= 0.0, lmy, -lmy)
-                            wz = jnp.where(dmz >= 0.0, lmz, -lmz)
                             dv = jnp.where(xb, wx, jnp.where(yb, wy, wz))
                             diff = jnp.maximum(0.0, dv)
                         else:
-                            # sphere: normal = hit_rel/p0; see dl above
-                            k1 = ocx * lmx + ocy * lmy + ocz * lmz
+                            # sphere: normal = hit_rel/rw in world space;
+                            # see dlw above (per-env, object-independent)
+                            k1 = (ocx * lwx_e + ocy * lwy_e
+                                  + ocz * lwz_e)
                             diff = jnp.maximum(
                                 0.0,
-                                (k1 + t_m * dl) * (-1.0 / max(p0, 1e-9)),
+                                (k1 + t_m * dlw) * (-1.0 / max(rw, 1e-9)),
                             )
                         sh = amb_e + kd_e * diff
+
+                        def q8(c):
+                            return max(0, min(255, int(round(c * 255.0))))
+
+                        def packed(c3):
+                            return (q8(c3[0]) << 16) | (q8(c3[1]) << 8) \
+                                | q8(c3[2])
+
                         if pr_["lamp"]:
                             green = phase_green > 0
-                            cr_l = jnp.where(green, 0.1, 0.9)
-                            cg_l = jnp.where(green, 0.85, 0.1)
-                            cb_l = jnp.where(green, 0.15, 0.1)
-                        else:
+                            if grayscale:
+                                cr_l = jnp.where(green, 0.1, 0.9)
+                                cg_l = jnp.where(green, 0.85, 0.1)
+                                cb_l = jnp.where(green, 0.15, 0.1)
+                            else:
+                                # scalar select between two packed ints
+                                pkc = jnp.where(
+                                    green, packed((0.1, 0.85, 0.15)),
+                                    packed((0.9, 0.1, 0.1)),
+                                )
+                        elif grayscale:
                             cr_l, cg_l, cb_l = pr_["color"]
+                        else:
+                            pkc = packed(pr_["color"])
                         if grayscale:
                             # luma-only object pass: one shaded plane
                             # select per prim instead of three
@@ -607,12 +744,11 @@ def _make_blob_kernel(H, W, plan, epb, grayscale=False, s_blk=None):
                                     + 0.114 * cb_l)
                             l_ = jnp.where(closer, cl_l * sh, l_)
                         else:
-                            r_ = jnp.where(closer, cr_l * sh, r_)
-                            g_ = jnp.where(closer, cg_l * sh, g_)
-                            b_ = jnp.where(closer, cb_l * sh, b_)
+                            pk_ = jnp.where(closer, pkc, pk_)
+                            sh_ = jnp.where(closer, sh, sh_)
                         t_best = jnp.where(closer, t_w, t_best)
                     return ((l_, t_best) if grayscale
-                            else (r_, g_, b_, t_best))
+                            else (pk_, sh_, t_best))
 
                 if pred:
                     # Skip the whole object when this env culls it.
@@ -625,11 +761,60 @@ def _make_blob_kernel(H, W, plan, epb, grayscale=False, s_blk=None):
                     # result; straight-line masked code is the default.
                     carry = jax.lax.cond(act, obj_pass, lambda c: c, carry)
                 else:
-                    carry = obj_pass(carry)
+                    g_passes[gi].append(obj_pass)
+                    if ob["npc_idx"] is not None:
+                        # singleton NPC cluster: visibility test uses
+                        # the traced pose scalars read above
+                        g_npc[gi] = (ox, oz)
+            for gi, group in enumerate(groups):
+                if not g_passes[gi]:
+                    continue
+
+                def group_pass(carry, passes=g_passes[gi]):
+                    for p_ in passes:
+                        carry = p_(carry)
+                    return carry
+
+                if cluster_sz and len(groups) > 1:
+                    # conservative cluster visibility: within cull range
+                    # of the member POSITIONS, and not entirely behind
+                    # the camera's flat forward half-plane (every ray
+                    # has a positive flat-forward component at these
+                    # FOV/pitch values, so a hit point p satisfies
+                    # fwd.(p-eye) > 0; |p - cc| <= r_vis then bounds
+                    # fwd.(cc-eye) > -r_vis for any visible member)
+                    if g_npc[gi] is None:
+                        ccx, ccz, r_c, r_v = _cluster_bounds(group)
+                    else:
+                        ccx, ccz = g_npc[gi]
+                        r_c = 0.0
+                        r_v = _bound_radius(group[0])
+                    rng = math.sqrt(cull2) + r_c
+                    dxc = ccx - eye0
+                    dzc = ccz - eye2
+                    act_cl = ((dxc * dxc + dzc * dzc < rng * rng)
+                              & (dxc * c_a - dzc * s_a > -r_v))
+                    if group[0].get("map") is not None:
+                        act_cl = act_cl & (mid_i == group[0]["map"])
+                    carry = jax.lax.cond(
+                        act_cl, group_pass, lambda c: c, carry)
+                else:
+                    carry = group_pass(carry)
             if grayscale:
                 l_, t_best = carry
             else:
-                r_, g_, b_, t_best = carry
+                pk_, sh_, t_best = carry
+                if plan["objs"]:
+                    # one-time decode: unpack the winner's 8-bit color
+                    # and apply its shading where any prim won
+                    obj_m = pk_ >= 0
+                    shn = sh_ * jnp.float32(1.0 / 255.0)
+                    r_ = jnp.where(
+                        obj_m, ((pk_ >> 16) & 255).astype(f32) * shn, r_)
+                    g_ = jnp.where(
+                        obj_m, ((pk_ >> 8) & 255).astype(f32) * shn, g_)
+                    b_ = jnp.where(
+                        obj_m, (pk_ & 255).astype(f32) * shn, b_)
 
             def to_u8(xv):
                 return (jnp.clip(xv, 0.0, 1.0) * 255.0 + 0.5).astype(
