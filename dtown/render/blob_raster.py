@@ -338,9 +338,13 @@ def _make_blob_kernel(H, W, plan, epb, grayscale=False, s_blk=None):
     # Spatial-cluster lax.cond predication of the object pass: groups of
     # <= N objects are skipped per env when the whole cluster is out of
     # cull range or behind the camera's view half-plane (conservative —
-    # rendering is unchanged). Amortizes the cond carry-rematerialization
-    # cost that made PER-OBJECT predication a loss. Value = max objects
-    # per cluster; 0/unset = off.
+    # rendering is unchanged). Tried as an amortization of the cond
+    # carry-rematerialization cost that made PER-OBJECT predication a
+    # loss; MEASURED round 2 on udem1: STILL a loss (634k at N=4, 647k
+    # at N=2, vs 677k straight-line) — even 4-8 cond boundaries cost
+    # more than skipping behind-camera clusters saves. Kept behind
+    # DTOWN_RENDER_CLUSTER as the recorded negative result; value = max
+    # objects per cluster; 0/unset = off (the default).
     _c = os.environ.get("DTOWN_RENDER_CLUSTER")
     cluster_sz = (int(_c) if _c is not None
                   else int(plan.get("cluster", 0) or 0))

@@ -47,6 +47,36 @@ def test_blob_render_matches_xla(map_name):
     assert (diff > 10).mean() < 0.03
 
 
+@pytest.mark.parametrize("map_name", ["udem1", "loop_pedestrians"])
+def test_cluster_predication_matches_straightline(map_name, monkeypatch):
+    """DTOWN_RENDER_CLUSTER must not change the rendering: the cluster
+    visibility test (cull range + view half-plane) is conservative, so
+    on/off differ only by FMA-reassociation pixel flips at prim
+    silhouettes (lax.cond branches contract mul+add differently)."""
+    cfg = EnvConfig(obs_type="rgb", camera_width=64, camera_height=64,
+                    auto_reset=False)
+    maps = map_loader.load_map(map_name)
+    plan = build_render_plan(cfg, maps)
+    keys = jax.random.split(jax.random.PRNGKey(5), 32)
+    idx = jnp.zeros((32,), jnp.int32)
+    states = jax.vmap(lambda k, i: env_core.reset(cfg, maps, k, i))(keys, idx)
+    blob = pack_blob(states, maps)
+
+    monkeypatch.delenv("DTOWN_RENDER_CLUSTER", raising=False)
+    f0 = np.asarray(
+        render_frames_from_blob(cfg, maps, blob, plan, interpret=True)
+    ).astype(int)
+    monkeypatch.setenv("DTOWN_RENDER_CLUSTER", "4")
+    f1 = np.asarray(
+        render_frames_from_blob(cfg, maps, blob, plan, interpret=True)
+    ).astype(int)
+    diff = np.abs(f0 - f1)
+    # a cull miss erases whole object regions; ulp flips touch isolated
+    # silhouette pixels only
+    assert (diff > 1).mean() < 1e-4, (diff > 1).mean()
+    assert (diff > 0).mean() < 1e-3, (diff > 0).mean()
+
+
 def test_blob_render_ineligible_cases():
     # beyond the straight-line object budget: falls to the top-K path
     stacked = map_loader.stack_maps(["udem1", "udem1", "udem1"])
