@@ -70,7 +70,15 @@ def main():
         render_objects=not args.no_objects,
         renderer=args.renderer,
     )
-    maps = map_loader.load_map(args.map)
+    if "," in args.map:
+        # stacked multimap (BASELINE config 5 single-chip form): envs
+        # are assigned maps round-robin at reset, every kernel table
+        # lookup is offset by the env's map-index blob row
+        maps = map_loader.stack_maps(args.map.split(","))
+        map_label = "multimap" + str(len(args.map.split(",")))
+    else:
+        maps = map_loader.load_map(args.map)
+        map_label = args.map
 
     def reset_all(key):
         keys = jax.random.split(key, args.envs)
@@ -132,7 +140,7 @@ def main():
         obs_tag = "gray" if args.grayscale else args.obs
         print(json.dumps({
             "metric": f"env_steps_per_s_{W_}x{H_}_{obs_tag}"
-                      f"_{args.envs}envs_{args.map}_fused",
+                      f"_{args.envs}envs_{map_label}_fused",
             "value": round(steps_per_s, 1),
             "unit": "env-steps/s/chip",
             "vs_baseline": round(steps_per_s / REFERENCE_STEPS_PER_S, 2),
@@ -160,7 +168,7 @@ def main():
     )
 
     print(json.dumps({
-        "metric": f"env_steps_per_s_{W_}x{H_}_{args.obs}_{args.envs}envs_{args.map}",
+        "metric": f"env_steps_per_s_{W_}x{H_}_{args.obs}_{args.envs}envs_{map_label}",
         "value": round(steps_per_s, 1),
         "unit": "env-steps/s/chip",
         "vs_baseline": round(steps_per_s / REFERENCE_STEPS_PER_S, 2),

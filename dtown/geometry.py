@@ -210,7 +210,10 @@ def closest_curve_point(maps, pos, angle):
     chord = chord / jnp.maximum(
         jnp.linalg.norm(chord, axis=-1, keepdims=True), 1e-12
     )
-    dots = chord @ get_dir_vec(angle)
+    # elementwise form, NOT a matmul: the default-precision MXU would
+    # round operands to bf16 and flip near-tie curve selections vs CPU
+    dv = get_dir_vec(angle)
+    dots = chord[..., 0] * dv[0] + chord[..., 1] * dv[1] + chord[..., 2] * dv[2]
     dots = jnp.where(cmask, dots, -jnp.inf)
     best = jnp.argmax(dots)
     # SURVEY §3.2 dot>0 filter: a heading opposing every lane direction

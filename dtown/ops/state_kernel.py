@@ -349,6 +349,11 @@ def make_state_kernel(cfg, Hg, Wg, n_words, M, n_spawn_ok, bb=None,
                 ct_ref[:, :], oh,
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=f32,
+                # HIGHEST or the MXU rounds the gathered table values to
+                # bf16 (~4e-3 rel): measured as a systematic ~1e-2
+                # TPU-vs-interpret reward gap (r2). A one-hot gather
+                # must return the stored f32 bits exactly.
+                precision=jax.lax.Precision.HIGHEST,
             )  # [CT_F, BB]
 
             best_dot = jnp.full_like(qx, -1e30)
@@ -643,6 +648,9 @@ def make_state_kernel(cfg, Hg, Wg, n_words, M, n_spawn_ok, bb=None,
                 bank_ref[:, :], ohb,
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=f32,
+                # exact f32 gather (see lane_query): spawn poses must
+                # match the bank bits, not their bf16 rounding
+                precision=jax.lax.Precision.HIGHEST,
             )  # [8, BB]
             pos_x = jnp.where(done, sp[BK_X, :][None, :], pos_x)
             pos_y = jnp.where(done, sp[BK_Y, :][None, :], pos_y)

@@ -11,6 +11,7 @@ masking so object counts are static-shape.
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from dtown import constants as C
@@ -97,7 +98,10 @@ def tile_corners(i, j, tile_size):
 def _project_interval(corners, axes):
     """Project rectangle corners [..., 4, 2] on axes [..., K, 2] -> min/max [..., K]."""
     # dots[..., K, 4]
-    dots = jnp.einsum("...kd,...cd->...kc", axes, corners)
+    # HIGHEST: the default-precision MXU rounds corner coordinates to
+    # bf16 (~1e-3 m), flipping SAT decisions at contact boundaries vs CPU
+    dots = jnp.einsum("...kd,...cd->...kc", axes, corners,
+                      precision=jax.lax.Precision.HIGHEST)
     return dots.min(axis=-1), dots.max(axis=-1)
 
 

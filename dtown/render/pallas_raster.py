@@ -447,12 +447,15 @@ def prepare_object_blocks(cfg, maps, state, eye):
     oh = (top[:, None] == jnp.arange(maps.max_objects)[None, :]).astype(
         jnp.float32
     )  # [K, M]
-    pos = oh @ state.dyn.pos
-    ang = oh @ render_angles(maps, state.dyn)
-    scale = oh @ maps.obj_scale
-    kind = oh @ maps.obj_kind.astype(jnp.float32)
-    act = oh @ active.astype(jnp.float32)
-    phase = oh @ state.dyn.phase.astype(jnp.float32)
+    # HIGHEST: one-hot gathers must return stored f32 bits exactly; the
+    # default-precision MXU rounds the gathered values to bf16
+    hi = jax.lax.Precision.HIGHEST
+    pos = jnp.matmul(oh, state.dyn.pos, precision=hi)
+    ang = jnp.matmul(oh, render_angles(maps, state.dyn), precision=hi)
+    scale = jnp.matmul(oh, maps.obj_scale, precision=hi)
+    kind = jnp.matmul(oh, maps.obj_kind.astype(jnp.float32), precision=hi)
+    act = jnp.matmul(oh, active.astype(jnp.float32), precision=hi)
+    phase = jnp.matmul(oh, state.dyn.phase.astype(jnp.float32), precision=hi)
 
     s_r, c_r = sincos(-ang)
     inv_s = 1.0 / jnp.maximum(scale, 1e-6)

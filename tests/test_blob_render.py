@@ -57,8 +57,8 @@ def test_cluster_predication_matches_straightline(map_name, monkeypatch):
                     auto_reset=False)
     maps = map_loader.load_map(map_name)
     plan = build_render_plan(cfg, maps)
-    keys = jax.random.split(jax.random.PRNGKey(5), 32)
-    idx = jnp.zeros((32,), jnp.int32)
+    keys = jax.random.split(jax.random.PRNGKey(5), 16)
+    idx = jnp.zeros((16,), jnp.int32)
     states = jax.vmap(lambda k, i: env_core.reset(cfg, maps, k, i))(keys, idx)
     blob = pack_blob(states, maps)
 
