@@ -238,6 +238,17 @@ def _make_ppo_fused(cfg, maps, num_envs, ppo, net, tx):
     from dtown.render.pallas_raster import planes_to_nhwc
 
     init_blob, fused_step, _ = make_fused_rollout(cfg, maps, num_envs)
+    if cfg.obs_type == "rgb" and maps.tile_kind.ndim == 3:
+        from dtown.render.blob_raster import build_render_plan
+
+        if build_render_plan(cfg, maps) is None:
+            # beyond the blob plan budget fused_step falls back to the
+            # per-env XLA renderer, which emits NHWC frames while this
+            # path consumes planes — fail loudly instead of mis-shaping
+            raise NotImplementedError(
+                "fused RGB PPO on a stack beyond the blob-render budget "
+                "(>8 maps / >24 objects) — use make_ppo(..., fused=False)"
+            )
 
     def obs_from(blob, obs_raw):
         if cfg.obs_type == "rgb":

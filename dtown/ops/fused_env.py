@@ -303,6 +303,21 @@ def obs_from_blob(cfg: EnvConfig, maps, blob, states_template):
     states = update_states_from_blob(states_template, blob, maps,
                                      cfg.domain_rand)
     if cfg.obs_type == "rgb":
+        # mirror fused_step's render path exactly (same planes format +
+        # distortion): the blob kernel also covers stacked multimaps,
+        # which the row-fed per_env camera rows do not (array tile_size)
+        from dtown.render.blob_raster import (
+            build_render_plan, render_frames_from_blob,
+        )
+
+        plan = build_render_plan(cfg, maps)
+        if plan is not None:
+            obs = render_frames_from_blob(cfg, maps, blob, plan)
+            if cfg.distortion:
+                from dtown.render.distortion import apply_distortion_planes
+
+                obs = apply_distortion_planes(cfg, obs)
+            return obs
         from dtown.render.pallas_raster import render_frames_pallas
 
         return render_frames_pallas(cfg, maps, states)

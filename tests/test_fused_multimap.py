@@ -234,6 +234,38 @@ def test_fused_multimap_domain_rand():
     )
 
 
+def test_obs_from_blob_rgb_on_stack():
+    """REGRESSION (r2): obs_from_blob's rgb branch routed stacks through
+    the row-fed renderer whose camera row chokes on the stacked (array)
+    tile_size — fused RGB PPO on a multimap crashed at init. It must use
+    the blob render plan (planes format), mirroring fused_step."""
+    from dtown.ops.fused_env import obs_from_blob, template_states
+
+    cfg = EnvConfig(obs_type="rgb", camera_width=64, camera_height=64)
+    maps = map_loader.stack_maps(["small_loop", "4way"])
+    B = 8
+    init_blob, _, _ = make_fused_rollout(cfg, maps, B)
+    blob, _ = init_blob(jax.random.PRNGKey(0))
+    tmpl = template_states(cfg, maps, B)
+    obs = obs_from_blob(cfg, maps, blob, tmpl)
+    assert obs.shape == (B, 3, 64 * 64 // 128, 128)  # planes, not NHWC
+    assert obs.dtype == jnp.uint8
+    assert np.asarray(obs).std() > 5.0
+
+
+def test_fused_rgb_ppo_guard_beyond_plan_budget():
+    """Stacks beyond the blob-render budget fall back to an NHWC XLA
+    renderer inside fused_step; fused RGB PPO must refuse them loudly
+    instead of feeding mis-shaped frames to planes_to_nhwc."""
+    from dtown.learn.ppo import PPOConfig, make_ppo
+
+    cfg = EnvConfig(obs_type="rgb", camera_width=64, camera_height=64)
+    maps = map_loader.stack_maps(["udem1", "udem1", "udem1"])  # >24 objs
+    with pytest.raises(NotImplementedError):
+        make_ppo(cfg, maps, num_envs=8, ppo=PPOConfig(rollout_len=2),
+                 fused=True)
+
+
 def test_fused_ppo_on_stack():
     """BASELINE config 5 core: fused PPO trains on a stacked multimap
     (state obs) — finite losses, blob map assignment intact."""
