@@ -289,6 +289,42 @@ def template_states(cfg: EnvConfig, maps, num_envs: int):
     return out
 
 
+def render_rgb_from_blob(cfg: EnvConfig, maps, blob, states_template,
+                         plan):
+    """The ONE rgb observation path shared by fused_step and
+    obs_from_blob (they must stay byte-equivalent or obs0 diverges from
+    rollout observations):
+
+    - plan-eligible scenes: blob render kernel (planes) + optional
+      fisheye;
+    - stacked maps beyond the plan budget: per-env XLA renderer (NHWC —
+      fused PPO refuses this case, see make_ppo);
+    - planless single maps: row-fed kernel (planes).
+    """
+    if plan is not None:
+        from dtown.render.blob_raster import render_frames_from_blob
+
+        obs = render_frames_from_blob(cfg, maps, blob, plan)
+        if cfg.distortion:
+            from dtown.render.distortion import apply_distortion_planes
+
+            obs = apply_distortion_planes(cfg, obs)
+        return obs
+    from dtown import env as env_core
+
+    states = update_states_from_blob(states_template, blob, maps,
+                                     cfg.domain_rand)
+    if maps.tile_kind.ndim == 3:
+        # stacked multimap beyond the blob plan's budget: per-env
+        # XLA renderer (select_map gather inside render_obs)
+        return jax.vmap(lambda s: env_core.render_obs(cfg, maps, s))(
+            states
+        )
+    from dtown.render.pallas_raster import render_frames_pallas
+
+    return render_frames_pallas(cfg, maps, states)
+
+
 def obs_from_blob(cfg: EnvConfig, maps, blob, states_template):
     """Observation of the CURRENT blob state without stepping.
 
@@ -300,27 +336,13 @@ def obs_from_blob(cfg: EnvConfig, maps, blob, states_template):
     from dtown import env as env_core
     from dtown.geometry import get_lane_pos2
 
+    if cfg.obs_type == "rgb":
+        from dtown.render.blob_raster import build_render_plan
+
+        return render_rgb_from_blob(cfg, maps, blob, states_template,
+                                    build_render_plan(cfg, maps))
     states = update_states_from_blob(states_template, blob, maps,
                                      cfg.domain_rand)
-    if cfg.obs_type == "rgb":
-        # mirror fused_step's render path exactly (same planes format +
-        # distortion): the blob kernel also covers stacked multimaps,
-        # which the row-fed per_env camera rows do not (array tile_size)
-        from dtown.render.blob_raster import (
-            build_render_plan, render_frames_from_blob,
-        )
-
-        plan = build_render_plan(cfg, maps)
-        if plan is not None:
-            obs = render_frames_from_blob(cfg, maps, blob, plan)
-            if cfg.distortion:
-                from dtown.render.distortion import apply_distortion_planes
-
-                obs = apply_distortion_planes(cfg, obs)
-            return obs
-        from dtown.render.pallas_raster import render_frames_pallas
-
-        return render_frames_pallas(cfg, maps, states)
     if maps.tile_kind.ndim == 3:
         lp = jax.vmap(
             lambda m, p, a: get_lane_pos2(
@@ -384,33 +406,10 @@ def make_fused_rollout(cfg: EnvConfig, maps, num_envs: int):
         blob = sk.state_step_pallas(cfg, maps, blob, actions, tables)
         out = unpack_outputs(blob)
         if cfg.obs_type == "rgb":
-            if render_plan is not None:
-                # zero-glue path: the render kernel reads the state blob
-                # directly (render/blob_raster.py)
-                from dtown.render.blob_raster import render_frames_from_blob
-
-                obs = render_frames_from_blob(cfg, maps, blob, render_plan)
-                if cfg.distortion:
-                    from dtown.render.distortion import (
-                        apply_distortion_planes,
-                    )
-
-                    obs = apply_distortion_planes(cfg, obs)
-                return blob, out, obs
-            states = update_states_from_blob(states_template, blob, maps,
-                                             cfg.domain_rand)
-            if maps.tile_kind.ndim == 3:
-                # stacked multimap beyond the blob plan's budget: per-env
-                # XLA renderer (select_map gather inside render_obs)
-                obs = jax.vmap(
-                    lambda s: env_core.render_obs(cfg, maps, s)
-                )(states)
-            else:
-                from dtown.render.pallas_raster import (
-                    render_frames_pallas,
-                )
-
-                obs = render_frames_pallas(cfg, maps, states)
+            # zero-glue when plan-eligible: the render kernel reads the
+            # state blob directly (render/blob_raster.py)
+            obs = render_rgb_from_blob(cfg, maps, blob, states_template,
+                                       render_plan)
         else:
             # observation-side lane rows (F_OL*): on done steps these hold
             # the fresh spawn's lane features, matching the XLA path which

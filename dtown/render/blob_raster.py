@@ -348,8 +348,20 @@ def _make_blob_kernel(H, W, plan, epb, grayscale=False, s_blk=None):
     _c = os.environ.get("DTOWN_RENDER_CLUSTER")
     cluster_sz = (int(_c) if _c is not None
                   else int(plan.get("cluster", 0) or 0))
+    cluster_sz = max(0, cluster_sz)  # negative values would mis-split
     if pred:
         cluster_sz = 0
+    # cluster partition + static bounds are env-independent: build once
+    if cluster_sz:
+        cl_groups = _build_clusters(plan["objs"], cluster_sz)
+        cl_bounds = [
+            _cluster_bounds(g) if all(o["npc_idx"] is None for o in g)
+            else None
+            for g in cl_groups
+        ]
+    else:
+        cl_groups = [plan["objs"]]
+        cl_bounds = [None]
     S = H * W // LANE_N
     s_blk = s_blk or S
     tiled = s_blk != S
@@ -536,10 +548,7 @@ def _make_blob_kernel(H, W, plan, epb, grayscale=False, s_blk=None):
                 pk_ = jnp.full((s_blk, LANE_N), -1, jnp.int32)
                 sh_ = jnp.zeros((s_blk, LANE_N), f32)
                 carry = (pk_, sh_, t_best)
-            if cluster_sz:
-                groups = _build_clusters(plan["objs"], cluster_sz)
-            else:
-                groups = [plan["objs"]]
+            groups = cl_groups
             g_passes = [[] for _ in groups]
             g_npc = [None] * len(groups)
             for gi, ob in [(gi_, ob_) for gi_, g_ in enumerate(groups)
@@ -788,7 +797,7 @@ def _make_blob_kernel(H, W, plan, epb, grayscale=False, s_blk=None):
                     # fwd.(p-eye) > 0; |p - cc| <= r_vis then bounds
                     # fwd.(cc-eye) > -r_vis for any visible member)
                     if g_npc[gi] is None:
-                        ccx, ccz, r_c, r_v = _cluster_bounds(group)
+                        ccx, ccz, r_c, r_v = cl_bounds[gi]
                     else:
                         ccx, ccz = g_npc[gi]
                         r_c = 0.0

@@ -469,7 +469,7 @@ def prepare_object_blocks(cfg, maps, state, eye):
         kind.astype(jnp.int32)[:, None]
         == jnp.arange(prim_mat.shape[0])[None, :]
     ).astype(jnp.float32)
-    prim = koh @ prim_mat  # [K, P*F]
+    prim = jnp.matmul(koh, prim_mat, precision=hi)  # [K, P*F]
     # traffic-light lamp color by phase (at the kind's phase-flagged slot)
     is_lamp_kind = kind.astype(jnp.int32) == T.OBJ_KIND_IDS["trafficlight"]
     tl_phase_flags = meshlib.prim_tables()["phase"][

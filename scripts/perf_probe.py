@@ -110,7 +110,10 @@ def main():
             return b, (out.reward.sum(),
                        jnp.sum(obs[:, 0, 0, :], dtype=jnp.int32))
         b, ys = jax.lax.scan(body, b, None, length=N, unroll=4)
-        return b, ys[0][-1]
+        # consume BOTH scan outputs: dropping the obs checksum lets XLA
+        # dead-code-eliminate the entire render kernel (measured: "full"
+        # reported 149us/iter == state-only, while render is ~6ms)
+        return b, ys[0][-1] + ys[1][-1].astype(jnp.float32)
 
     b3, _ = run_full(jnp.array(blob))
     t, _ = timed(lambda c: run_full(c[0]), (b3, None))

@@ -62,6 +62,9 @@ def test_cluster_predication_matches_straightline(map_name, monkeypatch):
     states = jax.vmap(lambda k, i: env_core.reset(cfg, maps, k, i))(keys, idx)
     blob = pack_blob(states, maps)
 
+    # an ambient DTOWN_RENDER_PRED=1 would zero cluster_sz and make the
+    # comparison vacuous (two identical pred-path renders)
+    monkeypatch.delenv("DTOWN_RENDER_PRED", raising=False)
     monkeypatch.delenv("DTOWN_RENDER_CLUSTER", raising=False)
     f0 = np.asarray(
         render_frames_from_blob(cfg, maps, blob, plan, interpret=True)
