@@ -139,6 +139,13 @@ def build_render_plan(cfg, maps):
             words=words, n_words=n_maps * npw, present=present, objs=objs,
             n_npc=npc_off,
             multi=dict(n_maps=n_maps, npw=npw),
+            # per-map cluster predication: unlike the geometric culls
+            # that LOSE on single maps (see STATUS), the stack's map
+            # gate is exact — an env skips (n_maps-1)/n_maps of the
+            # object pass. max_per = largest per-map object count so
+            # _build_clusters (which splits per map id first) keeps one
+            # cluster per map.
+            cluster=max(1, max(len(p["objs"]) for p in per)),
         )
         return plan
     try:
@@ -638,12 +645,19 @@ def _make_blob_kernel(H, W, plan, epb, grayscale=False, s_blk=None):
                         g_sph = jnp.float32(1.0)
                     else:
                         # env-level cull folded into the t scale: a
-                        # culled env gets t_w ~ 1e30 and every `closer`
-                        # compare fails, dropping the per-prim `& act`
+                        # culled env gets t_w = t_m * inf = +inf (every
+                        # `closer` gate already requires t_m > 1e-4, and
+                        # NaN sphere misses still compare false), so the
+                        # t_best init of 1e30 always wins. A FINITE fold
+                        # (1e30) was a real bug: sky pixels keep t_best
+                        # at 1e30, and a gated object with t_m < 1 still
+                        # produced t_w < 1e30 — on stacked maps (which
+                        # share world coordinates) another map's tall
+                        # objects bled into the sky rows.
                         sc_g = jnp.where(act, jnp.float32(sc),
-                                         jnp.float32(1e30))
+                                         jnp.float32(jnp.inf))
                         g_sph = jnp.where(act, jnp.float32(1.0),
-                                          jnp.float32(1e30))
+                                          jnp.float32(jnp.inf))
 
                     for pr_ in ob["prims"]:
                         cx, cy, cz = pr_["center"]

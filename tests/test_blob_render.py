@@ -80,6 +80,34 @@ def test_cluster_predication_matches_straightline(map_name, monkeypatch):
     assert (diff > 0).mean() < 1e-3, (diff > 0).mean()
 
 
+def test_stack_map_clusters_match_straightline(monkeypatch):
+    """Stacked maps default to per-map cluster predication (the map-id
+    gate is exact); forcing it off must render identically up to
+    cond-boundary FMA reassociation flips."""
+    cfg = EnvConfig(obs_type="rgb", camera_width=64, camera_height=64,
+                    auto_reset=False)
+    maps = map_loader.stack_maps(["zigzag_dists", "4way", "udem1"])
+    plan = build_render_plan(cfg, maps)
+    assert plan is not None and plan.get("cluster", 0) > 0
+    keys = jax.random.split(jax.random.PRNGKey(9), 16)
+    idx = jnp.arange(16, dtype=jnp.int32) % 3
+    states = jax.vmap(lambda k, i: env_core.reset(cfg, maps, k, i))(keys, idx)
+    blob = pack_blob(states, maps)
+
+    monkeypatch.delenv("DTOWN_RENDER_PRED", raising=False)
+    monkeypatch.setenv("DTOWN_RENDER_CLUSTER", "0")
+    f0 = np.asarray(
+        render_frames_from_blob(cfg, maps, blob, plan, interpret=True)
+    ).astype(int)
+    monkeypatch.delenv("DTOWN_RENDER_CLUSTER", raising=False)
+    f1 = np.asarray(
+        render_frames_from_blob(cfg, maps, blob, plan, interpret=True)
+    ).astype(int)
+    diff = np.abs(f0 - f1)
+    assert (diff > 1).mean() < 1e-4, (diff > 1).mean()
+    assert (diff > 0).mean() < 1e-3, (diff > 0).mean()
+
+
 def test_blob_render_ineligible_cases():
     # beyond the straight-line object budget: falls to the top-K path
     stacked = map_loader.stack_maps(["udem1", "udem1", "udem1"])

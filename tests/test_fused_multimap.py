@@ -55,7 +55,18 @@ def test_fused_multimap_state_matches_xla():
     )
 
 
-def test_fused_multimap_rgb_matches_xla():
+@pytest.mark.parametrize(
+    "stack",
+    [
+        MAPS,
+        # tall-object stack: udem1's buildings/trees overlap the other
+        # maps' world coordinates ABOVE the horizon — regression for the
+        # finite t-scale fold that bled cross-map objects into sky rows
+        ["zigzag_dists", "4way", "udem1"],
+    ],
+    ids=["short_objs", "tall_objs"],
+)
+def test_fused_multimap_rgb_matches_xla(stack):
     from dtown.render.blob_raster import (
         build_render_plan, render_frames_from_blob,
     )
@@ -63,7 +74,7 @@ def test_fused_multimap_rgb_matches_xla():
 
     cfg = EnvConfig(obs_type="rgb", camera_width=64, camera_height=64,
                     auto_reset=False)
-    maps = map_loader.stack_maps(MAPS)
+    maps = map_loader.stack_maps(stack)
     plan = build_render_plan(cfg, maps)
     assert plan is not None and plan["multi"]["n_maps"] == 3
     B = 8
