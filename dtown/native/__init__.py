@@ -56,6 +56,24 @@ class CMap(ctypes.Structure):
         ("spawn_mask", ctypes.c_uint8 * BANK),
         ("n_words", ctypes.c_int32),
         ("tile_words", ctypes.c_int32 * MAXW),
+        ("obj_sincos", ctypes.c_double * (MAXO * 2)),
+        ("obj_lmodel", ctypes.c_double * (MAXO * 3)),
+        ("obj_bound_rad", ctypes.c_double * MAXO),
+    ]
+
+
+N_OBJ_KINDS = 21
+P_MAX = 4
+
+
+class CPrims(ctypes.Structure):
+    _fields_ = [
+        ("type", ctypes.c_int32 * (N_OBJ_KINDS * P_MAX)),
+        ("center", ctypes.c_double * (N_OBJ_KINDS * P_MAX * 3)),
+        ("param", ctypes.c_double * (N_OBJ_KINDS * P_MAX * 3)),
+        ("color", ctypes.c_double * (N_OBJ_KINDS * P_MAX * 3)),
+        ("mask", ctypes.c_uint8 * (N_OBJ_KINDS * P_MAX)),
+        ("phase", ctypes.c_uint8 * (N_OBJ_KINDS * P_MAX)),
     ]
 
 
@@ -80,7 +98,13 @@ def _lib() -> Optional[ctypes.CDLL]:
                                       ctypes.POINTER(CMap)]
     lib.dtown_compile_map.restype = ctypes.c_int
     lib.dtown_mapc_sizeof.restype = ctypes.c_int
-    if lib.dtown_mapc_sizeof() != ctypes.sizeof(CMap):
+    lib.dtown_mapc_abi_version.restype = ctypes.c_int
+    lib.dtown_prim_tables.argtypes = [ctypes.POINTER(CPrims)]
+    lib.dtown_prim_tables.restype = ctypes.c_int
+    lib.dtown_prims_sizeof.restype = ctypes.c_int
+    if (lib.dtown_mapc_sizeof() != ctypes.sizeof(CMap)
+            or lib.dtown_prims_sizeof() != ctypes.sizeof(CPrims)
+            or lib.dtown_mapc_abi_version() != 3):
         raise RuntimeError(
             "native CMap ABI mismatch: "
             f"{lib.dtown_mapc_sizeof()} != {ctypes.sizeof(CMap)}"
@@ -139,4 +163,36 @@ def compile_map_native(path: str) -> dict:
         n_words=int(out.n_words),
         tile_words=arr("tile_words", (MAXW,), np.int32,
                        slice(0, out.n_words)),
+        obj_sincos=arr("obj_sincos", (MAXO, 2), np.float64, slice(0, M)),
+        obj_lmodel=arr("obj_lmodel", (MAXO, 3), np.float64, slice(0, M)),
+        obj_bound_rad=arr("obj_bound_rad", (MAXO,), np.float64,
+                          slice(0, M)),
+    )
+
+
+def prim_tables_native() -> dict:
+    """Primitive render-model tables baked by the native compiler
+    (mirrors dtown/render/meshes.py::prim_tables; cross-checked by
+    tests/test_native.py)."""
+    lib = _lib()
+    if lib is None:
+        raise RuntimeError("native map compiler unavailable")
+    out = CPrims()
+    rc = lib.dtown_prim_tables(ctypes.byref(out))
+    if rc != 0:
+        raise ValueError(f"native prim table bake failed (rc={rc})")
+
+    def arr(field, shape, dtype):
+        return np.ctypeslib.as_array(getattr(out, field)).astype(
+            dtype
+        ).reshape(shape).copy()
+
+    K, P = N_OBJ_KINDS, P_MAX
+    return dict(
+        type=arr("type", (K, P), np.int32),
+        center=arr("center", (K, P, 3), np.float64),
+        param=arr("param", (K, P, 3), np.float64),
+        color=arr("color", (K, P, 3), np.float64),
+        mask=arr("mask", (K, P), bool),
+        phase=arr("phase", (K, P), bool),
     )

@@ -74,6 +74,167 @@ const double OBJ_DIMS[N_OBJ_KINDS][3] = {
   {0.180, 0.180, 0.030}, {0.180, 0.180, 0.030}, {0.150, 0.250, 0.150},
 };
 
+// ---- primitive render models (dtown/render/meshes.py::_PRIMS) --------
+// Each object kind is a soup of <= P_MAX analytic primitives in model
+// space (facing +x, ground y=0, meters at scale 1). The python table is
+// the render-side source of truth; this native copy is what the scene
+// baker below consumes, and tests/test_native.py cross-checks the two
+// float-for-float.
+constexpr int P_MAX = 4;
+constexpr int PRIM_SPHERE = 0;
+constexpr int PRIM_BOX = 1;
+
+struct PrimDef {
+  int type;        // PRIM_SPHERE | PRIM_BOX
+  double c[3];     // model-space center
+  double p[3];     // radius (spheres, p[0]) or half-extents (boxes)
+  double col[3];   // base color
+  int phase;       // traffic-light lamp (phase-colored)
+};
+
+struct KindPrims { int n; PrimDef prims[P_MAX]; };
+
+// sign geometry shared by all sign_* kinds: pole, face, glyph strip
+KindPrims sign_prims(const double face[3], const double glyph[3]) {
+  KindPrims k;
+  k.n = 3;
+  k.prims[0] = {PRIM_BOX, {0.0, 0.065, 0.0}, {0.006, 0.065, 0.006},
+                {0.45, 0.45, 0.45}, 0};
+  k.prims[1] = {PRIM_BOX, {0.0, 0.145, 0.0}, {0.010, 0.035, 0.045},
+                {face[0], face[1], face[2]}, 0};
+  k.prims[2] = {PRIM_BOX, {0.011, 0.145, 0.0}, {0.0015, 0.012, 0.022},
+                {glyph[0], glyph[1], glyph[2]}, 0};
+  return k;
+}
+
+const KindPrims& kind_prims(int kid) {
+  static KindPrims table[N_OBJ_KINDS];
+  static bool init = false;
+  if (!init) {
+    init = true;
+    for (int k = 0; k < N_OBJ_KINDS; ++k) table[k].n = 0;
+    auto set = [&](int k, std::initializer_list<PrimDef> ps) {
+      int i = 0;
+      for (const auto& p : ps) table[k].prims[i++] = p;
+      table[k].n = i;
+    };
+    set(0, {  // duckie
+      {PRIM_SPHERE, {0.0, 0.035, 0.0}, {0.040, 0, 0}, {0.95, 0.78, 0.09}, 0},
+      {PRIM_SPHERE, {0.035, 0.075, 0.0}, {0.026, 0, 0}, {0.96, 0.80, 0.10}, 0},
+      {PRIM_BOX, {0.068, 0.072, 0.0}, {0.016, 0.008, 0.010},
+       {0.90, 0.45, 0.08}, 0},
+      {PRIM_SPHERE, {-0.038, 0.052, 0.0}, {0.018, 0, 0},
+       {0.97, 0.83, 0.12}, 0},
+    });
+    set(1, {  // duckiebot
+      {PRIM_BOX, {0.0, 0.045, 0.0}, {0.090, 0.045, 0.065},
+       {0.16, 0.16, 0.20}, 0},
+      {PRIM_BOX, {0.02, 0.10, 0.0}, {0.045, 0.012, 0.045},
+       {0.25, 0.35, 0.60}, 0},
+      {PRIM_BOX, {-0.02, 0.028, 0.0}, {0.034, 0.028, 0.072},
+       {0.05, 0.05, 0.06}, 0},
+      {PRIM_BOX, {0.085, 0.115, 0.0}, {0.008, 0.022, 0.010},
+       {0.10, 0.10, 0.12}, 0},
+    });
+    set(2, {  // cone
+      {PRIM_BOX, {0.0, 0.012, 0.0}, {0.032, 0.012, 0.032},
+       {0.90, 0.35, 0.10}, 0},
+      {PRIM_BOX, {0.0, 0.048, 0.0}, {0.016, 0.030, 0.016},
+       {0.95, 0.38, 0.10}, 0},
+    });
+    set(3, {  // barrier
+      {PRIM_BOX, {0.0, 0.045, 0.0}, {0.040, 0.035, 0.250},
+       {0.85, 0.82, 0.80}, 0},
+      {PRIM_BOX, {0.0, 0.012, 0.0}, {0.044, 0.012, 0.260},
+       {0.70, 0.20, 0.15}, 0},
+    });
+    set(4, {  // tree
+      {PRIM_BOX, {0.0, 0.06, 0.0}, {0.020, 0.060, 0.020},
+       {0.38, 0.26, 0.13}, 0},
+      {PRIM_SPHERE, {0.0, 0.170, 0.0}, {0.095, 0, 0},
+       {0.13, 0.42, 0.12}, 0},
+    });
+    set(5, {  // house
+      {PRIM_BOX, {0.0, 0.20, 0.0}, {0.240, 0.200, 0.240},
+       {0.73, 0.53, 0.35}, 0},
+      {PRIM_BOX, {0.0, 0.44, 0.0}, {0.255, 0.045, 0.255},
+       {0.55, 0.18, 0.12}, 0},
+    });
+    set(6, {  // truck
+      {PRIM_BOX, {0.13, 0.085, 0.0}, {0.065, 0.085, 0.095},
+       {0.30, 0.32, 0.40}, 0},
+      {PRIM_BOX, {-0.08, 0.10, 0.0}, {0.120, 0.100, 0.100},
+       {0.78, 0.79, 0.82}, 0},
+    });
+    set(7, {  // bus
+      {PRIM_BOX, {0.0, 0.085, 0.0}, {0.220, 0.085, 0.095},
+       {0.85, 0.70, 0.15}, 0},
+      {PRIM_BOX, {0.0, 0.155, 0.0}, {0.200, 0.022, 0.090},
+       {0.70, 0.58, 0.12}, 0},
+    });
+    set(8, {  // building
+      {PRIM_BOX, {0.0, 0.30, 0.0}, {0.290, 0.300, 0.290},
+       {0.62, 0.60, 0.58}, 0},
+    });
+    // signs (ids 9..19, order = OBJ_KINDS): face + glyph colors from
+    // meshes.py::_SIGN_FACE_COLORS / _SIGN_GLYPH_COLORS
+    const double faces[11][3] = {
+      {0.80, 0.12, 0.10}, {0.90, 0.90, 0.90}, {0.85, 0.80, 0.20},
+      {0.90, 0.90, 0.90}, {0.90, 0.90, 0.90}, {0.90, 0.90, 0.90},
+      {0.85, 0.15, 0.15}, {0.20, 0.30, 0.80}, {0.20, 0.30, 0.80},
+      {0.90, 0.80, 0.20}, {0.90, 0.90, 0.30},
+    };
+    const double glyphs[11][3] = {
+      {0.95, 0.95, 0.95}, {0.10, 0.10, 0.10}, {0.80, 0.15, 0.12},
+      {0.10, 0.10, 0.10}, {0.10, 0.10, 0.10}, {0.15, 0.15, 0.60},
+      {0.95, 0.95, 0.95}, {0.90, 0.90, 0.90}, {0.90, 0.90, 0.90},
+      {0.15, 0.12, 0.10}, {0.15, 0.15, 0.18},
+    };
+    for (int s = 0; s < 11; ++s) table[9 + s] = sign_prims(faces[s], glyphs[s]);
+    set(20, {  // trafficlight
+      {PRIM_BOX, {0.0, 0.105, 0.0}, {0.014, 0.105, 0.014},
+       {0.22, 0.22, 0.22}, 0},
+      {PRIM_BOX, {0.0, 0.225, 0.0}, {0.045, 0.028, 0.045},
+       {0.10, 0.10, 0.10}, 0},
+      {PRIM_BOX, {0.046, 0.225, 0.0}, {0.006, 0.018, 0.018},
+       {0.9, 0.1, 0.1}, 1},
+    });
+  }
+  return table[kid];
+}
+
+// conservative model-space bound radius of a kind's prim soup
+// (dtown/render/blob_raster.py::_bound_radius, before the scale factor).
+// The python side reads prim values out of float32 tables
+// (meshes.py::prim_tables), so round through float here to match.
+double prim_bound_radius(int kid) {
+  const KindPrims& kp = kind_prims(kid);
+  auto f32 = [](double v) { return (double)(float)v; };
+  double r = 0.0;
+  for (int i = 0; i < kp.n; ++i) {
+    const PrimDef& pr = kp.prims[i];
+    double p0 = f32(pr.p[0]), p1 = f32(pr.p[1]), p2 = f32(pr.p[2]);
+    double pr_r = pr.type == PRIM_BOX
+        ? std::sqrt(p0 * p0 + p1 * p1 + p2 * p2)
+        : p0;
+    double c0 = f32(pr.c[0]), c1 = f32(pr.c[1]), c2 = f32(pr.c[2]);
+    double cn = std::sqrt(c0 * c0 + c1 * c1 + c2 * c2);
+    r = std::max(r, cn + pr_r);
+  }
+  return r;
+}
+
+// nominal light direction, normalized in f64 from the f32 constants
+// (dtown/randomization.py::NOMINAL_LIGHT_DIR) — the (double)(float)
+// casts reproduce python's np.float32 -> float64 promotion exactly
+struct LightDir { double x, y, z; };
+LightDir nominal_light() {
+  double lx = (double)(float)-0.35, ly = (double)(float)-0.82,
+         lz = (double)(float)-0.45;
+  double n = std::sqrt(lx * lx + ly * ly + lz * lz);
+  return {lx / n, ly / n, lz / n};
+}
+
 struct Vec2 { double x, z; };
 
 struct CMap {
@@ -106,6 +267,13 @@ struct CMap {
   // map's actual H*W grid (dtown/render/blob_raster.py::pack_tile_words)
   int32_t n_words;
   int32_t tile_words[MAXW];
+  // render-scene bake (dtown/render/blob_raster.py::build_render_plan):
+  // per-object model rotation sin/cos of -y_rot, the nominal light
+  // direction rotated into model space, and the conservative prim-soup
+  // bound radius (world units, scale applied)
+  double obj_sincos[MAXO * 2];
+  double obj_lmodel[MAXO * 3];
+  double obj_bound_rad[MAXO];
 };
 
 // ---------------------------------------------------------------------
@@ -480,6 +648,19 @@ extern "C" int dtown_compile_map(const char* path, CMap* out) {
       out->obj_norms[(m * 2 + e) * 2 + 0] = -ez / n;
       out->obj_norms[(m * 2 + e) * 2 + 1] = ex / n;
     }
+    // render-scene bake: model rotation, model-space light, bound
+    // radius. The python plan (blob_raster.build_render_plan) reads
+    // y_rot/scale back out of the float32 MapArrays, so round through
+    // float here to bake the same doubles.
+    double yr32 = (double)(float)y_rot, sc32 = (double)(float)scale;
+    double s_r = std::sin(-yr32), c_r = std::cos(-yr32);
+    LightDir L = nominal_light();
+    out->obj_sincos[m * 2 + 0] = s_r;
+    out->obj_sincos[m * 2 + 1] = c_r;
+    out->obj_lmodel[m * 3 + 0] = L.x * c_r + L.z * s_r;
+    out->obj_lmodel[m * 3 + 1] = L.y;
+    out->obj_lmodel[m * 3 + 2] = L.z * c_r - L.x * s_r;
+    out->obj_bound_rad[m] = prim_bound_radius(kid) * sc32;
   }
 
   // ---- spawn bank ----
@@ -603,5 +784,37 @@ extern "C" int dtown_compile_map(const char* path, CMap* out) {
   return 0;
 }
 
+// flat export of the primitive render-model tables, indexed by object
+// kind id (dtown/render/meshes.py::prim_tables layout)
+struct CPrims {
+  int32_t type[N_OBJ_KINDS * P_MAX];
+  double center[N_OBJ_KINDS * P_MAX * 3];
+  double param[N_OBJ_KINDS * P_MAX * 3];
+  double color[N_OBJ_KINDS * P_MAX * 3];
+  uint8_t mask[N_OBJ_KINDS * P_MAX];
+  uint8_t phase[N_OBJ_KINDS * P_MAX];
+};
+
+extern "C" int dtown_prim_tables(CPrims* out) {
+  std::memset(out, 0, sizeof(CPrims));
+  for (int k = 0; k < N_OBJ_KINDS; ++k) {
+    const KindPrims& kp = kind_prims(k);
+    for (int i = 0; i < kp.n; ++i) {
+      const PrimDef& pr = kp.prims[i];
+      int s = k * P_MAX + i;
+      out->type[s] = pr.type;
+      for (int d = 0; d < 3; ++d) {
+        out->center[s * 3 + d] = pr.c[d];
+        out->param[s * 3 + d] = pr.p[d];
+        out->color[s * 3 + d] = pr.col[d];
+      }
+      out->mask[s] = 1;
+      out->phase[s] = pr.phase ? 1 : 0;
+    }
+  }
+  return 0;
+}
+
+extern "C" int dtown_prims_sizeof() { return (int)sizeof(CPrims); }
 extern "C" int dtown_mapc_sizeof() { return (int)sizeof(CMap); }
-extern "C" int dtown_mapc_abi_version() { return 2; }
+extern "C" int dtown_mapc_abi_version() { return 3; }

@@ -82,3 +82,41 @@ def test_native_spawn_bank_properties(name):
         assert bool(lp.in_lane)
         # native lane angle agrees with python computation
         assert abs(float(lp.angle_deg) - nat["spawn_lane_deg"][k]) < 0.5
+
+
+def test_native_prim_tables_match_meshes():
+    """The native prim-model bake (mapc.cpp::kind_prims) must equal the
+    python render tables (render/meshes.py::prim_tables) float-for-float
+    — both are consumed as float32."""
+    from dtown.render import meshes
+
+    nat = native.prim_tables_native()
+    py = meshes.prim_tables()
+    for f in ("type", "mask", "phase"):
+        np.testing.assert_array_equal(nat[f], py[f], err_msg=f)
+    for f in ("center", "param", "color"):
+        np.testing.assert_array_equal(
+            nat[f].astype(np.float32), py[f], err_msg=f
+        )
+
+
+@pytest.mark.parametrize("name", ["udem1", "loop_obstacles", "4way"])
+def test_native_scene_bake_matches_render_plan(name):
+    """Per-object scene constants baked natively (rotation sin/cos,
+    model-space light, prim bound radius) must match what
+    blob_raster.build_render_plan computes for the render kernel."""
+    from dtown.render.blob_raster import build_render_plan, _bound_radius
+    from dtown.types import EnvConfig
+
+    nat = native.compile_map_native(f"dtown/maps/{name}.yaml")
+    maps = map_loader.load_map(name)
+    plan = build_render_plan(EnvConfig(obs_type="rgb"), maps)
+    assert plan is not None and plan["objs"]
+    for ob in plan["objs"]:
+        s = ob["slot"]
+        assert abs(nat["obj_sincos"][s, 0] - ob["s_r"]) < 1e-15
+        assert abs(nat["obj_sincos"][s, 1] - ob["c_r"]) < 1e-15
+        np.testing.assert_allclose(
+            nat["obj_lmodel"][s], ob["l_model"], atol=1e-15
+        )
+        assert abs(nat["obj_bound_rad"][s] - _bound_radius(ob)) < 1e-12
