@@ -51,6 +51,13 @@ def main():
     ap.add_argument("--obs", default="rgb", choices=["rgb", "state"])
     ap.add_argument("--log-every", type=int, default=5)
     ap.add_argument("--lr", type=float, default=3e-4)
+    ap.add_argument("--ent-coef", type=float, default=0.01)
+    ap.add_argument("--gamma", type=float, default=0.99)
+    ap.add_argument("--gae-lambda", type=float, default=0.95)
+    ap.add_argument("--clip-eps", type=float, default=0.2)
+    ap.add_argument("--epochs", type=int, default=2)
+    ap.add_argument("--minibatches", type=int, default=4)
+    ap.add_argument("--reward-scale", type=float, default=0.02)
     ap.add_argument("--cpu", action="store_true",
                     help="force the local CPU backend (handled at import)")
     args = ap.parse_args()
@@ -69,7 +76,12 @@ def main():
     mesh = make_mesh()
     print(f"devices: {mesh.devices.size} x {jax.devices()[0].platform}")
 
-    ppo = PPOConfig(rollout_len=args.rollout, lr=args.lr)
+    ppo = PPOConfig(
+        rollout_len=args.rollout, lr=args.lr, ent_coef=args.ent_coef,
+        gamma=args.gamma, gae_lambda=args.gae_lambda,
+        clip_eps=args.clip_eps, epochs=args.epochs,
+        minibatches=args.minibatches, reward_scale=args.reward_scale,
+    )
     if args.fused:
         import functools
 
