@@ -77,38 +77,66 @@ class CPrims(ctypes.Structure):
     ]
 
 
-@functools.lru_cache(maxsize=1)
-def _lib() -> Optional[ctypes.CDLL]:
-    if not os.path.exists(_SO) or (
-        os.path.getmtime(_SO)
-        < os.path.getmtime(os.path.join(_NATIVE_DIR, "mapc.cpp"))
-    ):
-        try:
-            subprocess.run(
-                ["sh", os.path.join(_NATIVE_DIR, "build.sh")],
-                check=True, capture_output=True,
-            )
-        except Exception:
-            return None
+ABI_VERSION = 3
+
+
+def _rebuild() -> bool:
+    try:
+        subprocess.run(
+            ["sh", os.path.join(_NATIVE_DIR, "build.sh")],
+            check=True, capture_output=True,
+        )
+        return True
+    except Exception:
+        return False
+
+
+def _try_load() -> Optional[ctypes.CDLL]:
+    """Load + bind + ABI-check the .so; None on any mismatch (a stale
+    binary from a branch switch must degrade to the python compiler,
+    never crash the import)."""
     try:
         lib = ctypes.CDLL(_SO)
-    except OSError:
+        lib.dtown_compile_map.argtypes = [ctypes.c_char_p,
+                                          ctypes.POINTER(CMap)]
+        lib.dtown_compile_map.restype = ctypes.c_int
+        lib.dtown_mapc_sizeof.restype = ctypes.c_int
+        lib.dtown_mapc_abi_version.restype = ctypes.c_int
+        lib.dtown_prim_tables.argtypes = [ctypes.POINTER(CPrims)]
+        lib.dtown_prim_tables.restype = ctypes.c_int
+        lib.dtown_prims_sizeof.restype = ctypes.c_int
+    except (OSError, AttributeError):
         return None
-    lib.dtown_compile_map.argtypes = [ctypes.c_char_p,
-                                      ctypes.POINTER(CMap)]
-    lib.dtown_compile_map.restype = ctypes.c_int
-    lib.dtown_mapc_sizeof.restype = ctypes.c_int
-    lib.dtown_mapc_abi_version.restype = ctypes.c_int
-    lib.dtown_prim_tables.argtypes = [ctypes.POINTER(CPrims)]
-    lib.dtown_prim_tables.restype = ctypes.c_int
-    lib.dtown_prims_sizeof.restype = ctypes.c_int
-    if (lib.dtown_mapc_sizeof() != ctypes.sizeof(CMap)
-            or lib.dtown_prims_sizeof() != ctypes.sizeof(CPrims)
-            or lib.dtown_mapc_abi_version() != 3):
-        raise RuntimeError(
-            "native CMap ABI mismatch: "
-            f"{lib.dtown_mapc_sizeof()} != {ctypes.sizeof(CMap)}"
+    checks = {
+        "CMap sizeof": (lib.dtown_mapc_sizeof(), ctypes.sizeof(CMap)),
+        "CPrims sizeof": (lib.dtown_prims_sizeof(), ctypes.sizeof(CPrims)),
+        "abi version": (lib.dtown_mapc_abi_version(), ABI_VERSION),
+    }
+    bad = {k: v for k, v in checks.items() if v[0] != v[1]}
+    if bad:
+        import logging
+
+        logging.getLogger("dtown").warning(
+            "native library ABI mismatch, rebuilding: %s", bad
         )
+        return None
+    return lib
+
+
+@functools.lru_cache(maxsize=1)
+def _lib() -> Optional[ctypes.CDLL]:
+    stale = not os.path.exists(_SO) or (
+        os.path.getmtime(_SO)
+        < os.path.getmtime(os.path.join(_NATIVE_DIR, "mapc.cpp"))
+    )
+    if stale and not _rebuild():
+        return None
+    lib = _try_load()
+    if lib is None and not stale:
+        # mtime said fresh but symbols/ABI disagree (e.g. checkout order
+        # gave the committed .so a newer mtime): force one rebuild
+        if _rebuild():
+            lib = _try_load()
     return lib
 
 

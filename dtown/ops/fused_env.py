@@ -372,10 +372,7 @@ def make_fused_rollout(cfg: EnvConfig, maps, num_envs: int):
     rollout(blob, actions, n) -> (blob, reward_sum, obs_checksum).
     rgb mode renders every step through the fused Pallas kernel.
     """
-    import numpy as np
-
     from dtown import env as env_core
-    from dtown import types as T
 
     if num_envs % 8 != 0:
         raise ValueError(

@@ -3,9 +3,9 @@
 
 Runs a grid of short training runs sequentially on the current backend
 (ONE TPU process at a time) and prints one JSON line per run with the
-final-10-iter mean reward and done fraction, so defaults can be picked
-from the measured surface rather than folklore. Used for the round-2
-tuning pass; results recorded in STATUS.md.
+mean reward / done fraction over the LAST QUARTER of iterations, so
+defaults can be picked from the measured surface rather than folklore.
+Used for the round-2 tuning pass; results recorded in STATUS.md.
 
   python scripts/sweep_ppo.py --map small_loop --envs 1024 --iters 40
 """

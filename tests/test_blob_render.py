@@ -86,11 +86,13 @@ def test_stack_map_clusters_match_straightline(monkeypatch):
     cond-boundary FMA reassociation flips."""
     cfg = EnvConfig(obs_type="rgb", camera_width=64, camera_height=64,
                     auto_reset=False)
-    maps = map_loader.stack_maps(["zigzag_dists", "4way", "udem1"])
+    # two maps keep interpret-mode cost bounded; udem1 supplies the tall
+    # cross-map objects that exposed the finite-fold sky bleed
+    maps = map_loader.stack_maps(["zigzag_dists", "udem1"])
     plan = build_render_plan(cfg, maps)
     assert plan is not None and plan.get("cluster", 0) > 0
-    keys = jax.random.split(jax.random.PRNGKey(9), 16)
-    idx = jnp.arange(16, dtype=jnp.int32) % 3
+    keys = jax.random.split(jax.random.PRNGKey(9), 8)
+    idx = jnp.arange(8, dtype=jnp.int32) % 2
     states = jax.vmap(lambda k, i: env_core.reset(cfg, maps, k, i))(keys, idx)
     blob = pack_blob(states, maps)
 
