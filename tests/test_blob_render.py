@@ -208,3 +208,34 @@ def test_blob_render_row_tiled():
         jax.vmap(lambda s: env_core.render_obs(cfg, maps, s))(states)
     ).astype(int)
     assert np.abs(img_b - img_x).mean() < 2.0
+
+
+def test_culled_object_never_wins_sky_pixels():
+    """Single-map regression for the finite t-scale fold: an object
+    beyond obj_cull_dist whose geometry rises above the horizon must NOT
+    be painted into sky pixels (its gated t_w used to be t_m * 1e30,
+    which still beat the 1e30 sky init whenever model t < 1)."""
+    data = dict(
+        tile_size=0.585,
+        tiles=[["straight/W"] * 12],
+        objects=[
+            # tall building ~6 m east of the spawn tile, past the 4 m cull
+            dict(kind="building", pos=[10.5, 0.5], rotate=0, scale=3.0),
+        ],
+    )
+    maps = map_loader.compile_map(data)
+    cfg = EnvConfig(obs_type="rgb", camera_width=64, camera_height=64,
+                    auto_reset=False,
+                    start_pose=(0.5 * 0.585, 0.5 * 0.585, 0.0))
+    plan = build_render_plan(cfg, maps)
+    assert plan is not None and plan["objs"]
+    keys = jax.random.split(jax.random.PRNGKey(0), 8)
+    idx = jnp.zeros((8,), jnp.int32)
+    states = jax.vmap(lambda k, i: env_core.reset(cfg, maps, k, i))(keys, idx)
+    blob = pack_blob(states, maps)
+    planes = render_frames_from_blob(cfg, maps, blob, plan, interpret=True)
+    img = np.asarray(planes_to_nhwc(cfg, planes))
+    # facing east (+x) toward the culled building: the sky band must be
+    # the horizon color (blue-ish: b > r), not building grey
+    sky = img[:, :3, :, :].astype(int)  # top rows, all envs
+    assert (sky[..., 2] > sky[..., 0]).mean() > 0.99, "sky is not sky-colored"
