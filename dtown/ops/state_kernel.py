@@ -832,6 +832,14 @@ def _build_tables_multi(cfg, maps):
             )
             col0 += t["M"]
     M = col0
+    if len(opt_cols) > 23:
+        # the per-env visibility bitfield lives in one f32 blob row
+        # (exact integers only up to 2^24); no shipped map comes close,
+        # but a large stack of optional-heavy maps could
+        raise NotImplementedError(
+            f"stack has {len(opt_cols)} optional objects; the fused "
+            "domain-rand visibility bitfield supports at most 23"
+        )
     ot = (np.concatenate(ots, axis=1) if M
           else np.zeros((OT_F, 1), dtype=np.float32))
 

@@ -132,7 +132,11 @@ def build_render_plan(cfg, maps):
                 objs.append(ob)
             npc_off += p["n_npc"]
             opt_off += p["n_opt"]
-        if len(objs) > 24:
+        # With per-map cluster predication an env only executes its own
+        # map's object pass, so the straight-line cost budget is per map
+        # (enforced by the per-map plans above at <= 24 each); the TOTAL
+        # budget only bounds program size / compile time.
+        if len(objs) > 48:
             return None
         plan = dict(per[0])
         plan.update(

@@ -111,9 +111,13 @@ def test_stack_map_clusters_match_straightline(monkeypatch):
 
 
 def test_blob_render_ineligible_cases():
-    # beyond the straight-line object budget: falls to the top-K path
-    stacked = map_loader.stack_maps(["udem1", "udem1", "udem1"])
-    assert build_render_plan(EnvConfig(obs_type="rgb"), stacked) is None
+    # a 3x-udem1 stack (45 objects) is eligible now that the straight-
+    # line budget is per map (map-gated cluster predication); beyond the
+    # 48-object TOTAL program-size budget falls to the top-K path
+    stacked3 = map_loader.stack_maps(["udem1", "udem1", "udem1"])
+    assert build_render_plan(EnvConfig(obs_type="rgb"), stacked3) is not None
+    stacked4 = map_loader.stack_maps(["udem1"] * 4)
+    assert build_render_plan(EnvConfig(obs_type="rgb"), stacked4) is None
 
 
 def test_fused_distortion_blob_path():

@@ -271,7 +271,7 @@ def test_fused_rgb_ppo_guard_beyond_plan_budget():
     from dtown.learn.ppo import PPOConfig, make_ppo
 
     cfg = EnvConfig(obs_type="rgb", camera_width=64, camera_height=64)
-    maps = map_loader.stack_maps(["udem1", "udem1", "udem1"])  # >24 objs
+    maps = map_loader.stack_maps(["udem1"] * 4)  # >48 objs total
     with pytest.raises(NotImplementedError):
         make_ppo(cfg, maps, num_envs=8, ppo=PPOConfig(rollout_len=2),
                  fused=True)
