@@ -243,3 +243,31 @@ def test_culled_object_never_wins_sky_pixels():
     # the horizon color (blue-ish: b > r), not building grey
     sky = img[:, :3, :, :].astype(int)  # top rows, all envs
     assert (sky[..., 2] > sky[..., 0]).mean() > 0.99, "sky is not sky-colored"
+
+
+def test_build_clusters_partition_properties():
+    """_build_clusters must partition the object list exactly (every
+    object in exactly one group), never mix map ids within a group, and
+    keep moving NPCs as singletons."""
+    from dtown.render.blob_raster import _build_clusters
+
+    objs = []
+    for i in range(11):
+        objs.append(dict(pos=(i * 0.7, 0.0, (i * 13 % 7) * 0.5),
+                         npc_idx=None, map=i % 3, prims=[], scale=1.0))
+    objs.append(dict(pos=(1.0, 0.0, 1.0), npc_idx=0, map=1, prims=[],
+                     scale=1.0))
+    objs.append(dict(pos=(2.0, 0.0, 2.0), npc_idx=1, map=2, prims=[],
+                     scale=1.0))
+    for max_per in (1, 2, 4, 16):
+        groups = _build_clusters(objs, max_per)
+        flat = [id(o) for g in groups for o in g]
+        assert sorted(flat) == sorted(id(o) for o in objs)
+        for g in groups:
+            assert len({o["map"] for o in g}) == 1
+            statics = [o for o in g if o["npc_idx"] is None]
+            assert len(statics) in (0, len(g))
+            if statics:
+                assert len(g) <= max_per
+            else:
+                assert len(g) == 1  # NPC singleton
