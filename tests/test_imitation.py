@@ -1,0 +1,61 @@
+"""Imitation learning pipeline (SURVEY §2.16: the fork's steering-
+prediction scripts, rebuilt on-device): expert demos -> BC -> closed
+loop."""
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from dtown import map_loader
+from dtown.learn import imitation as im
+from dtown.types import EnvConfig
+
+
+def test_bc_state_obs_learns_and_survives():
+    cfg = EnvConfig(obs_type="state")
+    maps = map_loader.load_map("small_loop")
+    key = jax.random.PRNGKey(0)
+    k_demo, k_init, k_eval = jax.random.split(key, 3)
+    obs, act = jax.jit(
+        lambda k: im.collect_demos(cfg, maps, 64, 64, k)
+    )(k_demo)
+    assert obs.shape[:2] == (64, 64) and act.shape == (64, 64, 2)
+    # expert actions are sane: forward velocity, bounded steering
+    a = np.asarray(act)
+    assert np.allclose(a[..., 0], im.EXPERT_VEL)
+    assert np.abs(a[..., 1]).max() <= 1.0
+
+    init, train_epoch, policy = im.make_bc(cfg, lr=1e-3, batch_size=512)
+    bc = init(k_init, obs[0])
+    epoch = jax.jit(train_epoch)
+    losses = []
+    for _ in range(6):
+        bc, loss = epoch(bc, obs, act)
+        losses.append(float(loss))
+    assert losses[-1] < 0.3 * losses[0], losses
+
+    surv, mean_r = jax.jit(
+        lambda p, k: im.eval_closed_loop(cfg, maps, p, policy, 32, 100, k)
+    )(bc.params, k_eval)
+    # the expert law is linear in the state features; the clone must
+    # keep (nearly) every env alive for 100 steps
+    assert float(surv) > 0.9, float(surv)
+
+
+def test_bc_rgb_pipeline_shapes():
+    """RGB steering-prediction smoke: demos render camera frames, one
+    BC epoch runs, policy maps frames -> actions."""
+    cfg = EnvConfig(obs_type="rgb", camera_width=64, camera_height=64)
+    maps = map_loader.load_map("small_loop")
+    key = jax.random.PRNGKey(1)
+    k_demo, k_init, _ = jax.random.split(key, 3)
+    obs, act = jax.jit(
+        lambda k: im.collect_demos(cfg, maps, 8, 4, k)
+    )(k_demo)
+    assert obs.shape == (4, 8, 64, 64, 3) and obs.dtype == jnp.uint8
+    init, train_epoch, policy = im.make_bc(cfg, lr=1e-3, batch_size=16)
+    bc = init(k_init, obs[0])
+    bc, loss = jax.jit(train_epoch)(bc, obs, act)
+    assert np.isfinite(float(loss))
+    pred = policy(bc.params, obs[0])
+    assert pred.shape == (8, 2)
