@@ -22,9 +22,27 @@ def make_mesh(devices: Optional[Sequence] = None) -> Mesh:
     return Mesh(np.array(devices), (ENVS_AXIS,))
 
 
+def make_mesh_hier(n_hosts: int,
+                   devices: Optional[Sequence] = None) -> Mesh:
+    """Hierarchical (hosts, chips) mesh: env batch shards over BOTH axes;
+    learner all-reduces run hierarchically — the 'chips' axis rides ICI
+    within a host, the 'hosts' axis rides DCN (SURVEY.md §5.8)."""
+    devices = list(devices if devices is not None else jax.devices())
+    assert len(devices) % n_hosts == 0, (len(devices), n_hosts)
+    grid = np.array(devices).reshape(n_hosts, -1)
+    return Mesh(grid, ("hosts", "chips"))
+
+
+def env_axes(mesh: Mesh) -> tuple:
+    """Every mesh axis, in order — the env batch dim shards over all of
+    them (1-D 'envs' mesh or hierarchical hosts x chips)."""
+    return tuple(mesh.axis_names)
+
+
 def env_sharding(mesh: Mesh) -> NamedSharding:
-    """Sharding for batched env state / obs: leading axis over 'envs'."""
-    return NamedSharding(mesh, P(ENVS_AXIS))
+    """Sharding for batched env state / obs: leading axis over the full
+    mesh (all axes)."""
+    return NamedSharding(mesh, P(env_axes(mesh)))
 
 
 def replicated(mesh: Mesh) -> NamedSharding:

@@ -17,7 +17,9 @@ from jax.sharding import PartitionSpec as P
 from jax.experimental.shard_map import shard_map
 
 from dtown import env as env_core
-from dtown.parallel.mesh import ENVS_AXIS, env_sharding, make_mesh, replicated
+from dtown.parallel.mesh import (
+    ENVS_AXIS, env_axes, env_sharding, make_mesh, replicated,
+)
 
 
 def make_sharded_env(cfg, maps, num_envs: int, mesh=None):
@@ -56,13 +58,19 @@ def make_sharded_env(cfg, maps, num_envs: int, mesh=None):
 def make_sharded_ppo(cfg, maps, num_envs: int, ppo=None, mesh=None,
                      fused=False):
     """PPO train step partitioned with shard_map: env batch sharded over
-    'envs', params replicated, grads pmean'd over ICI.
+    the full mesh, params replicated, grads pmean'd over the mesh axes.
+
+    With a 1-D 'envs' mesh the grad all-reduce rides ICI; with a
+    hierarchical (hosts, chips) mesh (mesh.make_mesh_hier) XLA lowers
+    the pmean over both axes to an ICI reduce within each host and a DCN
+    reduce across hosts.
 
     fused=True runs each shard's rollouts through the fused Pallas
     kernels (blob-carried env state; learn/ppo._make_ppo_fused)."""
     from dtown.learn.ppo import PPOConfig, make_ppo
 
     mesh = mesh or make_mesh()
+    axes = env_axes(mesh)
     n_dev = mesh.devices.size
     assert num_envs % n_dev == 0
     per_dev = num_envs // n_dev
@@ -71,21 +79,29 @@ def make_sharded_ppo(cfg, maps, num_envs: int, ppo=None, mesh=None,
     init_local, train_step_local = make_ppo(cfg, maps, per_dev, ppo,
                                             fused=fused)
 
+    def shard_index():
+        """Flat shard id over all mesh axes (row-major, matching the
+        1-D device order)."""
+        idx = jax.lax.axis_index(axes[0])
+        for a in axes[1:]:
+            idx = idx * jax.lax.axis_size(a) + jax.lax.axis_index(a)
+        return idx
+
     # fused TrainState.env_states is (blob [NF, B_local], obs [B_local,
     # ...]): the blob's env axis is dim 1, so it needs its own spec
-    env_spec = (P(None, ENVS_AXIS), P(ENVS_AXIS)) if fused else P(ENVS_AXIS)
+    env_spec = (P(None, axes), P(axes)) if fused else P(axes)
 
     @functools.partial(
         shard_map,
         mesh=mesh,
-        in_specs=(P(ENVS_AXIS),),
+        in_specs=(P(axes),),
         out_specs=(P(), env_spec, P()),
         check_rep=False,
     )
     def _sharded_init(keys):
         # shared net key -> identical params on every shard; per-shard env
         # key (folded with the device index) -> distinct spawns
-        idx = jax.lax.axis_index(ENVS_AXIS)
+        idx = shard_index()
         ts = init_local(keys[0], env_key=jax.random.fold_in(keys[0], idx))
         return ts.params, ts.env_states, ts.opt_state
 
@@ -107,12 +123,12 @@ def make_sharded_ppo(cfg, maps, num_envs: int, ppo=None, mesh=None,
         from dtown.learn.ppo import TrainState
 
         # fold the shard index into the PRNG so shards act independently
-        idx = jax.lax.axis_index(ENVS_AXIS)
+        idx = shard_index()
         local_key = jax.random.fold_in(key, idx)
         ts = TrainState(params, opt_state, env_states, local_key)
-        ts, metrics = train_step_local(ts, axis_name=ENVS_AXIS)
+        ts, metrics = train_step_local(ts, axis_name=axes)
         metrics = jax.tree_util.tree_map(
-            lambda m: jax.lax.pmean(m, ENVS_AXIS), metrics
+            lambda m: jax.lax.pmean(m, axes), metrics
         )
         # params/opt_state stay replicated (same pmean'd grads everywhere)
         return (ts.params, ts.opt_state, ts.env_states, key), metrics

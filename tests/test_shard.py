@@ -118,3 +118,36 @@ def test_sharded_ppo_multimap_curriculum():
     # envs actually spread over both maps
     idx = np.asarray(ts.env_states.map_idx)
     assert set(idx) == {0, 1}
+
+
+def test_hierarchical_mesh_ppo_matches_flat():
+    """A (hosts=2, chips=4) hierarchical mesh must train identically to
+    the flat 8-device 'envs' mesh: the shard_index fold is row-major
+    (matching the 1-D device order) so per-shard PRNG streams coincide;
+    only collective reduction order may differ (float assoc)."""
+    from dtown.learn.ppo import PPOConfig
+    from dtown.parallel.mesh import make_mesh_hier
+
+    cfg = EnvConfig(obs_type="state")
+    maps = map_loader.load_map("small_loop")
+    ppo = PPOConfig(rollout_len=8)
+
+    mesh1, init1, step1 = make_sharded_ppo(cfg, maps, 32, ppo=ppo)
+    mesh2 = make_mesh_hier(2)
+    assert mesh2.axis_names == ("hosts", "chips")
+    _, init2, step2 = make_sharded_ppo(cfg, maps, 32, ppo=ppo, mesh=mesh2)
+
+    ts1 = init1(jax.random.PRNGKey(7))
+    ts2 = init2(jax.random.PRNGKey(7))
+    for _ in range(2):
+        ts1, m1 = step1(ts1)
+        ts2, m2 = step2(ts2)
+    for k in m1:
+        np.testing.assert_allclose(
+            float(m1[k]), float(m2[k]), rtol=2e-4, atol=1e-5, err_msg=k
+        )
+    p1 = jax.tree_util.tree_leaves(ts1.params)
+    p2 = jax.tree_util.tree_leaves(ts2.params)
+    for a, b in zip(p1, p2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=1e-5)
