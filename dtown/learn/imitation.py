@@ -23,7 +23,7 @@ import optax
 from flax import linen as nn
 
 from dtown import env as env_core
-from dtown.learn.networks import ConvTrunk
+from dtown.learn import networks
 
 
 # The lane-PD law proven stable closed-loop (a full lap) at the package
@@ -46,10 +46,11 @@ class BCPolicy(nn.Module):
     """Deterministic steering-prediction head on the shared trunk."""
 
     action_dim: int = 2
+    trunk: str = "nature"
 
     @nn.compact
     def __call__(self, obs):
-        h = ConvTrunk()(obs)
+        h = networks.make_trunk(self.trunk)(obs)
         return nn.Dense(self.action_dim, dtype=jnp.float32)(
             h.astype(jnp.float32)
         )
@@ -87,9 +88,10 @@ class BCState(NamedTuple):
     key: jax.Array
 
 
-def make_bc(cfg, lr: float = 1e-3, batch_size: int = 1024):
+def make_bc(cfg, lr: float = 1e-3, batch_size: int = 1024,
+            trunk: str = "nature"):
     """(init, train_epoch, policy): MSE behavior cloning on demos."""
-    net = BCPolicy()
+    net = BCPolicy(trunk=trunk)
     tx = optax.adam(lr)
 
     def init(key, example_obs) -> BCState:

@@ -41,10 +41,11 @@ class ActorCritic(nn.Module):
     """Gaussian policy over the 2-d action + value head."""
 
     action_dim: int = 2
+    trunk: str = "nature"
 
     @nn.compact
     def __call__(self, obs):
-        h = ConvTrunk()(obs)
+        h = make_trunk(self.trunk)(obs)
         mean = nn.Dense(self.action_dim, dtype=jnp.float32,
                         kernel_init=nn.initializers.orthogonal(0.01))(
             h.astype(jnp.float32)
@@ -57,3 +58,44 @@ class ActorCritic(nn.Module):
             h.astype(jnp.float32)
         )
         return mean, log_std, value[..., 0]
+
+
+class ImpalaTrunk(nn.Module):
+    """IMPALA-style residual conv trunk (Espeholt et al. 2018), bf16.
+
+    Deeper than the NatureCNN ConvTrunk; trains better on visually
+    cluttered maps at the cost of ~2x forward FLOPs. Selected with
+    trunk="impala" on ActorCritic / the imitation BCPolicy.
+    """
+
+    features: Sequence[int] = (16, 32, 32)
+
+    @nn.compact
+    def __call__(self, x):
+        if x.ndim == 2:  # state vector: same MLP as ConvTrunk
+            h = x.astype(jnp.bfloat16)
+            h = nn.Dense(256, dtype=jnp.bfloat16)(h)
+            h = nn.relu(h)
+            h = nn.Dense(256, dtype=jnp.bfloat16)(h)
+            return nn.relu(h)
+        h = x.astype(jnp.bfloat16) / 255.0
+        for f in self.features:
+            h = nn.Conv(f, (3, 3), dtype=jnp.bfloat16)(h)
+            h = nn.max_pool(h, (3, 3), strides=(2, 2), padding="SAME")
+            for _ in range(2):
+                r = nn.relu(h)
+                r = nn.Conv(f, (3, 3), dtype=jnp.bfloat16)(r)
+                r = nn.relu(r)
+                r = nn.Conv(f, (3, 3), dtype=jnp.bfloat16)(r)
+                h = h + r
+        h = nn.relu(h).reshape(h.shape[0], -1)
+        h = nn.Dense(256, dtype=jnp.bfloat16)(h)
+        return nn.relu(h)
+
+
+def make_trunk(name: str = "nature") -> nn.Module:
+    if name == "nature":
+        return ConvTrunk()
+    if name == "impala":
+        return ImpalaTrunk()
+    raise ValueError(f"unknown trunk {name!r} (nature | impala)")

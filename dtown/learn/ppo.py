@@ -34,6 +34,8 @@ class PPOConfig(NamedTuple):
     # Rewards are scaled before GAE/returns so the -1000 crash terminal
     # doesn't dominate the value loss (metrics still report raw rewards).
     reward_scale: float = 0.02
+    # Policy trunk: "nature" (NatureCNN) | "impala" (residual, deeper)
+    trunk: str = "nature"
 
 
 class TrainState(NamedTuple):
@@ -52,7 +54,7 @@ def make_ppo(cfg, maps, num_envs: int, ppo: PPOConfig = PPOConfig(),
     full training loop then runs at kernel speed. Restricted to the
     state-kernel fast path (domain_rand off, static NPC poses).
     """
-    net = ActorCritic()
+    net = ActorCritic(trunk=ppo.trunk)
     tx = optax.chain(
         optax.clip_by_global_norm(ppo.max_grad_norm),
         optax.adam(ppo.lr),

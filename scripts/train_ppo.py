@@ -58,6 +58,8 @@ def main():
     ap.add_argument("--epochs", type=int, default=2)
     ap.add_argument("--minibatches", type=int, default=4)
     ap.add_argument("--reward-scale", type=float, default=0.02)
+    ap.add_argument("--trunk", default="nature",
+                    choices=["nature", "impala"])
     ap.add_argument("--cpu", action="store_true",
                     help="force the local CPU backend (handled at import)")
     args = ap.parse_args()
@@ -81,6 +83,7 @@ def main():
         gamma=args.gamma, gae_lambda=args.gae_lambda,
         clip_eps=args.clip_eps, epochs=args.epochs,
         minibatches=args.minibatches, reward_scale=args.reward_scale,
+        trunk=args.trunk,
     )
     if args.fused:
         import functools

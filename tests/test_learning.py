@@ -35,3 +35,21 @@ def test_ppo_learns_small_loop_state():
     head_d = np.mean([h["done_frac"] for h in sink.history[:5]])
     tail_d = np.mean([h["done_frac"] for h in sink.history[-5:]])
     assert tail_d < head_d, (head_d, tail_d)
+
+
+def test_impala_trunk_train_step():
+    """The IMPALA residual trunk composes with the PPO learner (forward
+    + backward through residual blocks, bf16 conv compute)."""
+    from dtown.learn.ppo import PPOConfig, make_ppo
+    from dtown import map_loader
+    from dtown.types import EnvConfig
+    import jax
+
+    cfg = EnvConfig(obs_type="rgb", camera_width=32, camera_height=32)
+    maps = map_loader.load_map("small_loop")
+    init, train = make_ppo(cfg, maps, 8,
+                           PPOConfig(rollout_len=4, trunk="impala"),
+                           fused=True)
+    ts = init(jax.random.PRNGKey(0))
+    ts, metrics = jax.jit(lambda t: train(t))(ts)
+    assert all(np.isfinite(float(v)) for v in metrics.values())
