@@ -151,3 +151,20 @@ def test_hierarchical_mesh_ppo_matches_flat():
     for a, b in zip(p1, p2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-4, atol=1e-5)
+
+
+def test_hierarchical_mesh_fused_ppo_runs():
+    """Fused (blob-carried) PPO on a (2, 4) hierarchical mesh: the blob
+    env axis is dim 1, sharded over both mesh axes."""
+    from dtown.learn.ppo import PPOConfig
+    from dtown.parallel.mesh import make_mesh_hier
+
+    cfg = EnvConfig(obs_type="state")
+    maps = map_loader.load_map("small_loop")
+    mesh = make_mesh_hier(2)
+    _, init, step = make_sharded_ppo(
+        cfg, maps, 64, ppo=PPOConfig(rollout_len=4), mesh=mesh, fused=True
+    )
+    ts = init(jax.random.PRNGKey(0))
+    ts, metrics = step(ts)
+    assert all(np.isfinite(float(v)) for v in metrics.values())
