@@ -1,0 +1,209 @@
+#!/usr/bin/env python3
+"""Closed-loop evaluation of a trained policy checkpoint.
+
+Loads params saved by scripts/train_ppo.py (full train state or a bare
+params pytree), runs a deterministic (or stochastic) on-device rollout,
+and reports episode statistics: mean return, episode length, crash
+rate, survival. Optionally writes a GIF of one env driving under the
+policy (the reference fork evaluates trained steering models by driving
+the simulator and watching; SURVEY.md §2.16).
+
+Usage:
+  python scripts/train_ppo.py --map small_loop --obs state --iters 60 \
+      --ckpt /tmp/ppo_ck
+  python scripts/eval_policy.py --ckpt /tmp/ppo_ck --map small_loop \
+      --obs state --envs 256 --steps 500
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+
+if "--cpu" in sys.argv:
+    # ambient env pins jax_platforms=axon; env vars can't force CPU
+    jax.config.update("jax_platforms", "cpu")
+
+import jax.numpy as jnp
+import numpy as np
+
+from dtown import env as env_core
+from dtown import map_loader
+from dtown.learn.networks import ActorCritic
+from dtown.types import EnvConfig
+from dtown.utils import checkpoint
+
+
+def load_params(path: str):
+    tree = checkpoint.restore_any(os.path.abspath(path))
+    return tree["params"] if isinstance(tree, dict) and "params" in tree else tree
+
+
+def make_obs_fn(cfg, maps):
+    multimap = maps.tile_kind.ndim == 3
+
+    def obs_of(states):
+        if cfg.obs_type == "rgb" and cfg.renderer == "pallas" and not multimap:
+            from dtown.render.pallas_raster import (
+                planes_to_nhwc, render_frames_pallas,
+            )
+
+            return planes_to_nhwc(cfg, render_frames_pallas(cfg, maps, states))
+        return jax.vmap(lambda s: env_core.render_obs(cfg, maps, s))(states)
+
+    return obs_of
+
+
+def episode_stats(rewards: np.ndarray, dones: np.ndarray):
+    """Per-episode stats from [T, E] reward/done arrays.
+
+    Episodes are spans ending at a done step; only completed episodes
+    count toward return/length (the trailing partial span per env is
+    discarded, matching how the reference's scripts tally per-episode
+    reward on `done`).
+    """
+    T, E = rewards.shape
+    returns, lengths, crashes = [], [], 0
+    for e in range(E):
+        acc, n = 0.0, 0
+        for t in range(T):
+            acc += float(rewards[t, e])
+            n += 1
+            if dones[t, e]:
+                returns.append(acc)
+                lengths.append(n)
+                if rewards[t, e] <= -999.0:  # REWARD_INVALID_POSE terminal
+                    crashes += 1
+                acc, n = 0.0, 0
+    n_ep = len(returns)
+    survived = int((~dones.any(axis=0)).sum())
+    return {
+        "episodes": n_ep,
+        "mean_return": float(np.mean(returns)) if n_ep else None,
+        "mean_ep_len": float(np.mean(lengths)) if n_ep else None,
+        "crash_rate": crashes / n_ep if n_ep else None,
+        "survived_full_horizon": survived,
+        "mean_step_reward": float(rewards.mean()),
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--ckpt", required=True)
+    ap.add_argument("--map", default="small_loop", nargs="+")
+    ap.add_argument("--envs", type=int, default=256)
+    ap.add_argument("--steps", type=int, default=500)
+    ap.add_argument("--size", type=int, default=64)
+    ap.add_argument("--obs", default="rgb", choices=["rgb", "state"])
+    ap.add_argument("--trunk", default="nature", choices=["nature", "impala"])
+    ap.add_argument("--renderer", default="pallas", choices=["xla", "pallas"])
+    ap.add_argument("--domain-rand", action="store_true")
+    ap.add_argument("--stochastic", action="store_true",
+                    help="sample actions instead of tanh(mean)")
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--gif", default=None,
+                    help="write a GIF of env 0 driving under the policy")
+    ap.add_argument("--gif-steps", type=int, default=300)
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args()
+
+    cfg = EnvConfig(
+        obs_type=args.obs, camera_width=args.size, camera_height=args.size,
+        domain_rand=args.domain_rand, renderer=args.renderer,
+    )
+    names = args.map if isinstance(args.map, list) else [args.map]
+    maps = (map_loader.stack_maps(names) if len(names) > 1
+            else map_loader.load_map(names[0]))
+    nmaps = maps.tile_kind.shape[0] if maps.tile_kind.ndim == 3 else 1
+
+    net = ActorCritic(trunk=args.trunk)
+    params = load_params(args.ckpt)
+    obs_of = make_obs_fn(cfg, maps)
+
+    key = jax.random.PRNGKey(args.seed)
+    k_env, k_act = jax.random.split(key)
+    keys = jax.random.split(k_env, args.envs)
+    idx = jnp.arange(args.envs, dtype=jnp.int32) % nmaps
+    states0 = jax.vmap(lambda k, i: env_core.reset(cfg, maps, k, i))(keys, idx)
+
+    def policy(obs, k):
+        mean, log_std, _ = net.apply(params, obs)
+        if args.stochastic:
+            noise = jax.random.normal(k, mean.shape, dtype=mean.dtype)
+            return jnp.tanh(mean + jnp.exp(log_std) * noise)
+        return jnp.tanh(mean)
+
+    @jax.jit
+    def run(states, k):
+        def step_fn(carry, _):
+            st, kk = carry
+            kk, ka = jax.random.split(kk)
+            act = policy(obs_of(st), ka)
+            st, out, _ = jax.vmap(
+                lambda s, a: env_core.step_physics(cfg, maps, s, a)
+            )(st, act)
+            return (st, kk), (out.reward, out.done)
+
+        (_, _), (rew, done) = jax.lax.scan(
+            step_fn, (states, k), None, length=args.steps
+        )
+        return rew, done
+
+    t0 = time.perf_counter()
+    rew, done = jax.block_until_ready(run(states0, k_act))
+    dt = time.perf_counter() - t0
+    stats = episode_stats(np.asarray(rew), np.asarray(done))
+    stats.update({
+        "envs": args.envs, "steps": args.steps,
+        "map": ",".join(names), "obs": args.obs,
+        "deterministic": not args.stochastic,
+        "steps_per_s": round(args.envs * args.steps / dt),
+    })
+    print(json.dumps(stats))
+
+    if args.gif:
+        write_gif(args, cfg, maps, net, params, obs_of)
+
+
+def write_gif(args, cfg, maps, net, params, obs_of):
+    rgb_cfg = cfg if cfg.obs_type == "rgb" else EnvConfig(
+        obs_type="rgb", camera_width=max(args.size, 128),
+        camera_height=max(args.size, 128), renderer="xla",
+    )
+    key = jax.random.PRNGKey(args.seed + 1)
+    state = env_core.reset(cfg, maps, key, jnp.int32(0))
+    step1 = jax.jit(lambda s, a: env_core.step_physics(cfg, maps, s, a)[:2])
+    act_fn = jax.jit(
+        lambda o: jnp.tanh(net.apply(params, o[None])[0][0])
+    )
+    frame_fn = jax.jit(lambda s: env_core.render_obs(rgb_cfg, maps, s))
+    frames = [np.asarray(frame_fn(state))]
+    for _ in range(args.gif_steps):
+        obs1 = jax.tree_util.tree_map(lambda x: x[None], state)
+        obs = obs_of(obs1)[0] if cfg.obs_type == "rgb" else env_core.render_obs(
+            cfg, maps, state
+        )
+        state, out = step1(state, act_fn(obs))
+        frames.append(np.asarray(frame_fn(state)))
+        if bool(out.done):
+            break
+    try:
+        from PIL import Image
+
+        imgs = [Image.fromarray(f) for f in frames]
+        imgs[0].save(args.gif, save_all=True, append_images=imgs[1:],
+                     duration=33, loop=0)
+        print(f"wrote {len(frames)} frames to {args.gif}")
+    except ImportError:
+        np.save(args.gif + ".npy", np.stack(frames))
+        print(f"PIL missing; wrote raw frames to {args.gif}.npy")
+
+
+if __name__ == "__main__":
+    main()

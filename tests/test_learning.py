@@ -3,6 +3,7 @@
 Short state-obs training on small_loop: mean reward must clearly improve
 and the crash rate must drop. CPU, single device, ~30 s.
 """
+import chex
 import numpy as np
 import pytest
 
@@ -53,3 +54,40 @@ def test_impala_trunk_train_step():
     ts = init(jax.random.PRNGKey(0))
     ts, metrics = jax.jit(lambda t: train(t))(ts)
     assert all(np.isfinite(float(v)) for v in metrics.values())
+
+
+def test_eval_policy_roundtrip(tmp_path):
+    """scripts/eval_policy.py evaluates a train_ppo checkpoint: save a
+    full train state, restore template-free, run the deterministic
+    closed-loop eval, and get coherent episode statistics."""
+    import importlib.util
+    import os
+    import sys
+
+    from dtown.utils import checkpoint
+
+    cfg = EnvConfig(obs_type="state")
+    maps = map_loader.load_map("small_loop")
+    init, _ = make_ppo(cfg, maps, num_envs=8, ppo=PPOConfig(rollout_len=4))
+    ts = init(jax.random.PRNGKey(0))
+    ck = str(tmp_path / "ck")
+    checkpoint.save(ck, {"params": ts.params, "key": ts.key})
+
+    spec = importlib.util.spec_from_file_location(
+        "eval_policy",
+        os.path.join(os.path.dirname(__file__), "..", "scripts",
+                     "eval_policy.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    params = mod.load_params(ck)
+    chex.assert_trees_all_close(params, ts.params)
+
+    argv = sys.argv
+    sys.argv = ["eval_policy.py", "--ckpt", ck, "--map", "small_loop",
+                "--obs", "state", "--envs", "8", "--steps", "30"]
+    try:
+        mod.main()
+    finally:
+        sys.argv = argv
