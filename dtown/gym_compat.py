@@ -27,7 +27,7 @@ class DuckietownEnv:
     [velocity, steering]) on top of simulator.py::Simulator.
     """
 
-    metadata = {"render.modes": ["rgb_array"]}
+    metadata = {"render.modes": ["rgb_array", "human", "top_down"]}
 
     def __init__(self, map_name: str = C.DEFAULT_MAP_NAME, seed: int = 0,
                  randomize_maps_on_reset: bool = False, **cfg_kwargs):
@@ -81,6 +81,8 @@ class DuckietownEnv:
                     env_core.step, self.cfg, self.maps))
                 self._render = jax.jit(functools.partial(
                     env_core.render_obs, self.cfg, self.maps))
+                if hasattr(self, "_render_td"):
+                    del self._render_td  # re-jit on the new map
         self._key, sub = jax.random.split(self._key)
         self.state = self._reset(sub)
         return np.asarray(self._render(self.state))
@@ -139,7 +141,20 @@ class DuckietownEnv:
         """rgb_array returns the frame; 'human' additionally paints it
         into the terminal as ANSI truecolor half-blocks (the reference
         opens a pyglet GL window — this environment is headless, so the
-        live view is the terminal; see also manual_control.py)."""
+        live view is the terminal; see also manual_control.py);
+        'top_down' renders the bird's-eye map view with an agent marker
+        (reference: simulator.py render(mode='top_down'))."""
+        if mode == "top_down":
+            if not hasattr(self, "_render_td"):
+                from dtown.render.raster import render_top_down
+
+                import dataclasses
+
+                rgb_cfg = self.cfg if self.cfg.obs_type == "rgb" else \
+                    dataclasses.replace(self.cfg, obs_type="rgb")
+                self._render_td = jax.jit(functools.partial(
+                    render_top_down, rgb_cfg, self.maps))
+            return np.asarray(self._render_td(self.state))
         img = np.asarray(self._render(self.state))
         if mode == "human":
             _print_ansi_frame(img)

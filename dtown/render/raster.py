@@ -451,3 +451,75 @@ def render_frame(cfg, maps, state):
         )
         rgb = luma[..., None]
     return (rgb * 255.0 + 0.5).astype(jnp.uint8)
+
+
+def render_top_down(cfg, maps, state):
+    """Bird's-eye view of the whole map with an agent marker.
+
+    reference: simulator.py::render(mode='top_down') — the reference
+    re-renders the scene from a camera centered above the map looking
+    straight down. Here the same perspective ray-caster is reused with a
+    synthetic overhead camera state (pitch 90°, fov sized to the map
+    extents), then the agent bbox (physics.get_agent_corners) is painted
+    on top (the reference draws the agent mesh; the marker keeps the
+    debug intent: pose + heading at a glance). Returns uint8 [H, W, 3].
+    """
+    import dataclasses
+
+    from dtown import physics
+
+    # the overhead camera is ~10 m up: disable the first-person
+    # distance/nearest-K object culling (and fisheye) for this view
+    cfg = dataclasses.replace(
+        cfg, obj_cull_dist=1e9,
+        max_visible_objects=int(maps.obj_mask.shape[-1]),
+        distortion=False,
+    )
+    H, W = cfg.camera_height, cfg.camera_width
+    Hg, Wg = maps.grid_shape
+    ts = jnp.float32(maps.tile_size)
+    cx = 0.5 * Wg * ts
+    cz = 0.5 * Hg * ts
+    cam_h = jnp.float32(10.0)
+    # fov covers the map footprint (5% margin) at this height;
+    # screen up = -z (yaw pi/2), screen right = +x: matches the yaml
+    # tile layout (row 0 at the top).
+    half_z = 0.525 * Hg * ts
+    half_x = 0.525 * Wg * ts
+    aspect = W / H
+    tan_half = jnp.maximum(half_z, half_x / aspect) / cam_h
+    fov_y = 2.0 * jnp.rad2deg(jnp.arctan(tan_half))
+
+    td = state.replace(
+        pos=jnp.stack([cx, jnp.float32(0.0), cz]),
+        angle=jnp.float32(jnp.pi / 2),
+        cam_angle=jnp.float32(90.0),
+        cam_height=cam_h,
+        cam_fwd_dist=jnp.float32(0.0),
+        cam_fov_y=fov_y,
+    )
+    img = render_frame(cfg, maps, td)
+    if cfg.grayscale:
+        img = jnp.repeat(img, 3, axis=-1)
+
+    # agent marker: filled rotated bbox (red) + white front edge band
+    rays, eye = camera_rays(cfg, td)
+    dy = rays[..., 1]
+    t = -eye[1] / jnp.where(dy < -1e-6, dy, -1.0)
+    px = eye[0] + t * rays[..., 0]
+    pz = eye[2] + t * rays[..., 2]
+    center = physics.actual_center(state.pos, state.angle)
+    s, c = sincos(state.angle)
+    dx = px - center[0]
+    dz = pz - center[2]
+    u = dx * c - dz * s            # forward coordinate (dir_vec)
+    v = dx * s + dz * c            # right coordinate (right_vec)
+    half_l = jnp.float32(C.ROBOT_LENGTH / 2)
+    half_w = jnp.float32(C.ROBOT_WIDTH / 2)
+    in_box = (jnp.abs(u) <= half_l) & (jnp.abs(v) <= half_w)
+    front = in_box & (u >= 0.5 * half_l)
+    red = jnp.array([220, 30, 30], dtype=jnp.uint8)
+    white = jnp.array([255, 255, 255], dtype=jnp.uint8)
+    img = jnp.where(in_box[..., None], red[None, None, :], img)
+    img = jnp.where(front[..., None], white[None, None, :], img)
+    return img
