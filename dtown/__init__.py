@@ -27,6 +27,14 @@ def registered_ids():
     return ids
 
 
+def register_gymnasium():
+    """Register `Duckietown-<map>-v0` ids with gymnasium, mirroring the
+    reference's classic-gym registration (gym_duckietown/__init__.py)."""
+    from dtown.gymnasium_compat import register_gymnasium as _reg
+
+    return _reg()
+
+
 def make(id_or_map: str = None, **kwargs):
     """Create a single-env, gym-style environment.
 

@@ -1,0 +1,43 @@
+"""Gymnasium registration surface (reference registers with classic gym
+at import; dtown mirrors the ids into gymnasium — SURVEY.md §2.1)."""
+import numpy as np
+import pytest
+
+gymnasium = pytest.importorskip("gymnasium")
+
+
+def test_gymnasium_make_and_step():
+    import dtown
+
+    ids = dtown.register_gymnasium()
+    assert "Duckietown-small_loop-v0" in ids
+
+    env = gymnasium.make("Duckietown-small_loop-v0", obs_type="state",
+                         camera_width=64, camera_height=64)
+    obs, info = env.reset(seed=3)
+    assert env.observation_space.contains(np.asarray(obs))
+    total_term = 0
+    for _ in range(10):
+        obs, r, term, trunc, info = env.step(np.array([0.5, 0.0], np.float32))
+        assert np.isfinite(r)
+        assert isinstance(term, bool) and isinstance(trunc, bool)
+        total_term += term
+        if term or trunc:
+            obs, info = env.reset()
+    assert "Simulator" in info
+
+
+def test_gymnasium_terminated_vs_truncated():
+    import dtown.gymnasium_compat as gc
+
+    env = gc.DuckietownGymnasiumEnv(map_name="straight_road",
+                                    obs_type="state", max_steps=6,
+                                    auto_reset=False)
+    env.reset(seed=0)
+    results = []
+    for _ in range(6):
+        _, _, term, trunc, _ = env.step([0.3, 0.0])
+        results.append((term, trunc))
+    # straight road at low speed: no crash; the horizon truncates
+    assert results[-1] == (False, True)
+    assert all(t == (False, False) for t in results[:-1])
