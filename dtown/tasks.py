@@ -1,0 +1,106 @@
+"""Vectorized task layers over the functional env core.
+
+The reference ships two task subclasses of DuckietownEnv
+(envs/duckietown_env.py): DuckietownLF (lane following — the base
+reward already encodes it) and DuckietownNav (reach a randomly drawn
+goal tile for a bonus). The gym surface mirrors both host-side
+(gym_compat.DuckietownLF / DuckietownNav); this module is the
+TPU-native counterpart — the Nav goal lives IN the jitted state pytree
+so thousands of Nav envs run per chip with in-graph goal redraws at
+auto-reset.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from dtown import env as env_core
+from dtown.types import EnvConfig, EnvState, MapArrays
+
+GOAL_REWARD = 500.0  # gym_compat.DuckietownNav.GOAL_REWARD
+
+
+class NavState(NamedTuple):
+    env: EnvState
+    goal: jax.Array   # [2] int32 (i, j) goal tile
+    rng: jax.Array    # goal-redraw key (separate from env rng)
+
+
+def _draw_goal(maps: MapArrays, map_idx, key):
+    """Uniform drivable tile -> (i, j) int32."""
+    m = env_core.select_map(maps, map_idx)
+    Hg, Wg = m.grid_shape
+    driv = m.drivable.reshape(-1)
+    logits = jnp.where(driv, 0.0, -jnp.inf)
+    flat = jax.random.categorical(key, logits)
+    return jnp.stack([(flat % Wg).astype(jnp.int32),
+                      (flat // Wg).astype(jnp.int32)])
+
+
+def nav_reset(cfg: EnvConfig, maps: MapArrays, key, map_idx=None) -> NavState:
+    k_env, k_goal, k_carry = jax.random.split(key, 3)
+    st = env_core.reset(cfg, maps, k_env, map_idx)
+    return NavState(st, _draw_goal(maps, st.map_idx, k_goal), k_carry)
+
+
+def nav_step(cfg: EnvConfig, maps: MapArrays, ns: NavState, action):
+    """Env step + goal check: entering the goal tile ends the episode
+    with +GOAL_REWARD (reference: DuckietownNav.step). Under
+    cfg.auto_reset a new goal is drawn in-graph for the fresh episode.
+    """
+    st, out, lp = env_core.step_physics(cfg, maps, ns.env, action)
+    m = env_core.select_map(maps, st.map_idx)
+    ts = m.tile_size
+    # tile under the post-step pose; step_physics already auto-reset the
+    # pose if the env crashed/truncated, so only score a goal on a live
+    # episode (done=False) — matching the host wrapper's `if not done`.
+    tile_i = jnp.floor(st.pos[0] / ts).astype(jnp.int32)
+    tile_j = jnp.floor(st.pos[2] / ts).astype(jnp.int32)
+    reached = (
+        (tile_i == ns.goal[0]) & (tile_j == ns.goal[1]) & ~out.done
+    )
+    reward = out.reward + jnp.where(reached, jnp.float32(GOAL_REWARD), 0.0)
+    done = out.done | reached
+
+    rng, k_goal, k_respawn = jax.random.split(ns.rng, 3)
+    if cfg.auto_reset:
+        # goal-reached episodes respawn here (crash/truncation already
+        # respawned inside step_physics)
+        fresh = env_core.reset(cfg, maps, k_respawn, map_idx=st.map_idx)
+        # nav_step operates on ONE env (vmapped by make_nav_vec), so
+        # `reached` is a scalar and broadcasts over every state leaf
+        st = jax.tree_util.tree_map(
+            lambda new, cur: jnp.where(reached, new, cur), fresh, st,
+        )
+        new_goal = _draw_goal(maps, st.map_idx, k_goal)
+        goal = jnp.where(done, new_goal, ns.goal)
+    else:
+        goal = ns.goal
+    out = out.replace(reward=reward, done=done)
+    return NavState(st, goal, rng), out
+
+
+def make_nav_vec(cfg: EnvConfig, maps: MapArrays, num_envs: int):
+    """Jitted, vmapped (reset, step) for the Nav task — the vectorized
+    equivalent of gym_compat.DuckietownNav."""
+
+    @jax.jit
+    def v_reset(key):
+        keys = jax.random.split(key, num_envs)
+        if maps.tile_kind.ndim == 3:
+            idx = jnp.arange(num_envs, dtype=jnp.int32) % maps.tile_kind.shape[0]
+        else:
+            idx = jnp.zeros((num_envs,), dtype=jnp.int32)
+        return jax.vmap(lambda k, i: nav_reset(cfg, maps, k, i))(keys, idx)
+
+    @jax.jit
+    def v_step(states, actions):
+        ns, out = jax.vmap(
+            lambda s, a: nav_step(cfg, maps, s, a)
+        )(states, actions)
+        obs = jax.vmap(lambda s: env_core.render_obs(cfg, maps, s.env))(ns)
+        return ns, out.replace(obs=obs)
+
+    return v_reset, v_step

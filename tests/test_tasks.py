@@ -1,0 +1,71 @@
+"""Vectorized Nav task (dtown/tasks.py) — the TPU-native counterpart of
+gym_compat.DuckietownNav (reference: envs/duckietown_env.py)."""
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from dtown import map_loader, tasks
+from dtown.types import EnvConfig
+
+
+def test_nav_goal_on_drivable_tiles():
+    cfg = EnvConfig(obs_type="state")
+    maps = map_loader.load_map("udem1")
+    v_reset, _ = tasks.make_nav_vec(cfg, maps, 64)
+    ns = v_reset(jax.random.PRNGKey(0))
+    driv = np.asarray(maps.drivable)
+    gi = np.asarray(ns.goal[:, 0])
+    gj = np.asarray(ns.goal[:, 1])
+    assert driv[gj, gi].all()
+    # goals are spread, not a single tile
+    assert len({(int(i), int(j)) for i, j in zip(gi, gj)}) > 4
+
+
+def test_nav_goal_reached_bonus_and_redraw():
+    """Teleport the agent's env-state onto its goal tile: the next step
+    must add GOAL_REWARD, set done, and redraw the goal in-graph."""
+    cfg = EnvConfig(obs_type="state")
+    maps = map_loader.load_map("small_loop")
+    v_reset, v_step = tasks.make_nav_vec(cfg, maps, 8)
+    ns = v_reset(jax.random.PRNGKey(1))
+
+    ts = float(maps.tile_size)
+    # place every env at the center of its goal tile, heading anywhere
+    gx = (ns.goal[:, 0].astype(jnp.float32) + 0.5) * ts
+    gz = (ns.goal[:, 1].astype(jnp.float32) + 0.5) * ts
+    pos = jnp.stack([gx, jnp.zeros_like(gx), gz], axis=-1)
+    ns = ns._replace(env=ns.env.replace(pos=pos))
+
+    ns2, out = v_step(ns, jnp.zeros((8, 2), jnp.float32))
+    # standing on the goal tile with ~zero motion: no crash, goal scored
+    reached = np.asarray(out.reward) > tasks.GOAL_REWARD - 100.0
+    assert reached.sum() >= 6  # a spawn clipping a tile edge may miss
+    assert np.asarray(out.done)[reached].all()
+    # redrawn goals differ for at least some reached envs
+    moved = (np.asarray(ns2.goal) != np.asarray(ns.goal)).any(axis=-1)
+    assert moved[reached].sum() >= 1
+
+
+def test_nav_plain_step_matches_base_env_reward():
+    """Away from the goal, Nav rewards equal the base env's rewards."""
+    from dtown import env as env_core
+
+    cfg = EnvConfig(obs_type="state")
+    maps = map_loader.load_map("straight_road")
+    v_reset, v_step = tasks.make_nav_vec(cfg, maps, 4)
+    ns = v_reset(jax.random.PRNGKey(2))
+    # park the goals far outside the agent's next-step tile
+    ns = ns._replace(goal=jnp.full_like(ns.goal, 99))
+
+    act = jnp.tile(jnp.array([[0.3, 0.0]], jnp.float32), (4, 1))
+    base_states = ns.env
+    _, out_nav = v_step(ns, act)
+    _, out_base, _ = jax.vmap(
+        lambda s, a: env_core.step_physics(cfg, maps, s, a)
+    )(base_states, act)
+    # jit boundaries differ (composite nav graph vs bare vmap), so XLA
+    # fusion order differs: allow f32 ulp-level noise
+    np.testing.assert_allclose(
+        np.asarray(out_nav.reward), np.asarray(out_base.reward), atol=1e-4
+    )
