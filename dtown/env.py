@@ -374,23 +374,17 @@ def step(cfg: EnvConfig, maps: MapArrays, state: EnvState, action):
     return new_state, out.replace(obs=obs)
 
 
-def step_batch(cfg: EnvConfig, maps: MapArrays, states: EnvState, actions):
-    """Batched step: vmapped physics + batched observation.
-
-    With cfg.renderer == "pallas" (and rgb obs) the whole batch renders in
-    one fused TPU kernel (render/pallas_raster.py); otherwise falls back
-    to the vmapped XLA renderer.
-    """
-    new_states, outs, _ = jax.vmap(
-        lambda s, a: step_physics(cfg, maps, s, a)
-    )(states, actions)
+def render_obs_batch(cfg: EnvConfig, maps: MapArrays, states: EnvState):
+    """Batched observation: with cfg.renderer == "pallas" (and rgb obs,
+    single map) the whole batch renders in one fused TPU kernel
+    (render/pallas_raster.py); otherwise the vmapped XLA renderer."""
     multimap = maps.tile_kind.ndim == 3
     if cfg.obs_type == "rgb" and cfg.renderer == "pallas" and not multimap:
         from dtown.render.pallas_raster import (
             planes_to_nhwc, render_frames_pallas,
         )
 
-        planes = render_frames_pallas(cfg, maps, new_states)
+        planes = render_frames_pallas(cfg, maps, states)
         obs = planes_to_nhwc(cfg, planes)
         if cfg.grayscale:
             luma = (
@@ -399,14 +393,30 @@ def step_batch(cfg: EnvConfig, maps: MapArrays, states: EnvState, actions):
                 + 0.114 * obs[..., 2].astype(jnp.float32)
             )
             obs = luma.astype(jnp.uint8)[..., None]
-    else:
-        obs = jax.vmap(lambda s: render_obs(cfg, maps, s))(new_states)
-    return new_states, outs.replace(obs=obs)
+        return obs
+    return jax.vmap(lambda s: render_obs(cfg, maps, s))(states)
+
+
+def step_batch(cfg: EnvConfig, maps: MapArrays, states: EnvState, actions):
+    """Batched step: vmapped physics + batched observation."""
+    new_states, outs, _ = jax.vmap(
+        lambda s, a: step_physics(cfg, maps, s, a)
+    )(states, actions)
+    return new_states, outs.replace(obs=render_obs_batch(cfg, maps, new_states))
 
 
 # ---------------------------------------------------------------------
 # Vectorized convenience API
 # ---------------------------------------------------------------------
+
+def initial_map_indices(maps: MapArrays, num_envs: int):
+    """Round-robin per-env map assignment for stacked multimap batches
+    (all zeros on a single map)."""
+    if maps.tile_kind.ndim == 3:
+        n_maps = maps.tile_kind.shape[0]
+        return jnp.arange(num_envs, dtype=jnp.int32) % n_maps
+    return jnp.zeros((num_envs,), dtype=jnp.int32)
+
 
 def make_vec_env(cfg: EnvConfig, maps: MapArrays, num_envs: int):
     """Jitted, vmapped (reset, step) over a batch of envs.
@@ -418,11 +428,7 @@ def make_vec_env(cfg: EnvConfig, maps: MapArrays, num_envs: int):
     @jax.jit
     def v_reset(key):
         keys = jax.random.split(key, num_envs)
-        if maps.tile_kind.ndim == 3:
-            n_maps = maps.tile_kind.shape[0]
-            idx = jnp.arange(num_envs, dtype=jnp.int32) % n_maps
-        else:
-            idx = jnp.zeros((num_envs,), dtype=jnp.int32)
+        idx = initial_map_indices(maps, num_envs)
         return jax.vmap(lambda k, i: reset(cfg, maps, k, i))(keys, idx)
 
     @jax.jit

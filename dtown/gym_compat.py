@@ -201,7 +201,8 @@ class DuckietownNav(DuckietownEnv):
     tile is chosen; reaching it ends the episode with a bonus reward.
     """
 
-    GOAL_REWARD = 500.0
+    # single source of truth lives with the vectorized Nav task
+    from dtown.tasks import GOAL_REWARD
 
     def __init__(self, *args, **kwargs):
         super().__init__(*args, **kwargs)

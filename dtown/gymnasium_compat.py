@@ -38,6 +38,14 @@ class DuckietownGymnasiumEnv(gymnasium.Env if gymnasium else object):
         assert gymnasium is not None, "gymnasium is not installed"
         from dtown.gym_compat import DuckietownEnv
 
+        if cfg_kwargs.get("auto_reset"):
+            # gymnasium semantics: the USER resets after termination; an
+            # in-graph auto-reset would also zero step_count and break
+            # the terminated/truncated split below
+            raise ValueError(
+                "auto_reset is not supported on the gymnasium surface; "
+                "use dtown.make_vec / gymnasium's AutoResetWrapper"
+            )
         self._env = DuckietownEnv(map_name=map_name, **cfg_kwargs)
         self.render_mode = render_mode
         if self._env.cfg.obs_type == "rgb":
@@ -63,10 +71,12 @@ class DuckietownGymnasiumEnv(gymnasium.Env if gymnasium else object):
 
     def step(self, action):
         obs, reward, done, info = self._env.step(action)
-        truncated = bool(
-            int(self._env.state.step_count) >= self._env.cfg.max_steps
-        )
-        terminated = bool(done) and not truncated
+        # terminated = the MDP terminal (crash/out-of-lane, identified
+        # by the REWARD_INVALID_POSE payout); truncated = any other end
+        # (the max_steps horizon). A crash exactly on the horizon step
+        # reports terminated.
+        terminated = bool(done) and reward <= C.REWARD_INVALID_POSE + 1.0
+        truncated = bool(done) and not terminated
         return obs, reward, terminated, truncated, info
 
     def render(self):

@@ -99,3 +99,35 @@ def make_trunk(name: str = "nature") -> nn.Module:
     if name == "impala":
         return ImpalaTrunk()
     raise ValueError(f"unknown trunk {name!r} (nature | impala)")
+
+
+class ActorCriticRNN(nn.Module):
+    """Recurrent actor-critic: trunk -> LSTM -> Gaussian policy + value.
+
+    Third policy-network family (after NatureCNN and IMPALA): an LSTM
+    over the trunk features gives the policy memory for the partially
+    observed pixels task (the camera can't see behind the robot). The
+    cell state is carried per env and reset at episode boundaries by
+    the learner (learn/ppo_rnn.py).
+    """
+
+    action_dim: int = 2
+    trunk: str = "nature"
+    hidden: int = 128
+
+    @nn.compact
+    def __call__(self, obs, carry):
+        h = make_trunk(self.trunk)(obs).astype(jnp.float32)
+        carry, h = nn.OptimizedLSTMCell(self.hidden)(carry, h)
+        mean = nn.Dense(self.action_dim, dtype=jnp.float32,
+                        kernel_init=nn.initializers.orthogonal(0.01))(h)
+        log_std = self.param(
+            "log_std", nn.initializers.constant(-0.5), (self.action_dim,)
+        )
+        value = nn.Dense(1, dtype=jnp.float32,
+                         kernel_init=nn.initializers.orthogonal(1.0))(h)
+        return mean, log_std, value[..., 0], carry
+
+    def initial_carry(self, batch: int):
+        z = jnp.zeros((batch, self.hidden), jnp.float32)
+        return (z, z)

@@ -11,6 +11,7 @@ auto-reset.
 """
 from __future__ import annotations
 
+import dataclasses
 from typing import NamedTuple
 
 import jax
@@ -49,13 +50,17 @@ def nav_step(cfg: EnvConfig, maps: MapArrays, ns: NavState, action):
     """Env step + goal check: entering the goal tile ends the episode
     with +GOAL_REWARD (reference: DuckietownNav.step). Under
     cfg.auto_reset a new goal is drawn in-graph for the fresh episode.
+
+    The base step runs with auto_reset OFF so the whole Nav step pays
+    exactly ONE reset graph, selected on the combined done (crash |
+    truncation | goal) — not one inside step_physics plus another here.
     """
-    st, out, lp = env_core.step_physics(cfg, maps, ns.env, action)
+    base_cfg = dataclasses.replace(cfg, auto_reset=False)
+    st, out, lp = env_core.step_physics(base_cfg, maps, ns.env, action)
     m = env_core.select_map(maps, st.map_idx)
     ts = m.tile_size
-    # tile under the post-step pose; step_physics already auto-reset the
-    # pose if the env crashed/truncated, so only score a goal on a live
-    # episode (done=False) — matching the host wrapper's `if not done`.
+    # only score a goal on a live episode — the host wrapper's `if not
+    # done` (gym_compat.DuckietownNav.step)
     tile_i = jnp.floor(st.pos[0] / ts).astype(jnp.int32)
     tile_j = jnp.floor(st.pos[2] / ts).astype(jnp.int32)
     reached = (
@@ -66,16 +71,14 @@ def nav_step(cfg: EnvConfig, maps: MapArrays, ns: NavState, action):
 
     rng, k_goal, k_respawn = jax.random.split(ns.rng, 3)
     if cfg.auto_reset:
-        # goal-reached episodes respawn here (crash/truncation already
-        # respawned inside step_physics)
         fresh = env_core.reset(cfg, maps, k_respawn, map_idx=st.map_idx)
         # nav_step operates on ONE env (vmapped by make_nav_vec), so
-        # `reached` is a scalar and broadcasts over every state leaf
+        # `done` is a scalar and broadcasts over every state leaf
         st = jax.tree_util.tree_map(
-            lambda new, cur: jnp.where(reached, new, cur), fresh, st,
+            lambda new, cur: jnp.where(done, new, cur), fresh, st,
         )
-        new_goal = _draw_goal(maps, st.map_idx, k_goal)
-        goal = jnp.where(done, new_goal, ns.goal)
+        goal = jnp.where(done, _draw_goal(maps, st.map_idx, k_goal),
+                         ns.goal)
     else:
         goal = ns.goal
     out = out.replace(reward=reward, done=done)
@@ -89,10 +92,7 @@ def make_nav_vec(cfg: EnvConfig, maps: MapArrays, num_envs: int):
     @jax.jit
     def v_reset(key):
         keys = jax.random.split(key, num_envs)
-        if maps.tile_kind.ndim == 3:
-            idx = jnp.arange(num_envs, dtype=jnp.int32) % maps.tile_kind.shape[0]
-        else:
-            idx = jnp.zeros((num_envs,), dtype=jnp.int32)
+        idx = env_core.initial_map_indices(maps, num_envs)
         return jax.vmap(lambda k, i: nav_reset(cfg, maps, k, i))(keys, idx)
 
     @jax.jit
@@ -100,7 +100,9 @@ def make_nav_vec(cfg: EnvConfig, maps: MapArrays, num_envs: int):
         ns, out = jax.vmap(
             lambda s, a: nav_step(cfg, maps, s, a)
         )(states, actions)
-        obs = jax.vmap(lambda s: env_core.render_obs(cfg, maps, s.env))(ns)
+        # same batched-obs path as step_batch (fused Pallas renderer
+        # when cfg selects it)
+        obs = env_core.render_obs_batch(cfg, maps, ns.env)
         return ns, out.replace(obs=obs)
 
     return v_reset, v_step

@@ -60,6 +60,10 @@ def main():
     ap.add_argument("--reward-scale", type=float, default=0.02)
     ap.add_argument("--trunk", default="nature",
                     choices=["nature", "impala"])
+    ap.add_argument("--rnn", action="store_true",
+                    help="recurrent (LSTM) policy via learn/ppo_rnn; "
+                         "single-host, standard rollout path")
+    ap.add_argument("--rnn-hidden", type=int, default=128)
     ap.add_argument("--cpu", action="store_true",
                     help="force the local CPU backend (handled at import)")
     args = ap.parse_args()
@@ -85,7 +89,15 @@ def main():
         minibatches=args.minibatches, reward_scale=args.reward_scale,
         trunk=args.trunk,
     )
-    if args.fused:
+    if args.rnn:
+        from dtown.learn.ppo_rnn import make_ppo_rnn
+
+        assert not args.fused, "--rnn uses the standard rollout path"
+        s_init, train_local = make_ppo_rnn(
+            cfg, maps, args.envs, ppo, hidden=args.rnn_hidden
+        )
+        s_train = jax.jit(lambda ts: train_local(ts))
+    elif args.fused:
         import functools
 
         from dtown.learn.ppo import make_ppo
@@ -116,12 +128,15 @@ def main():
 
         # full training state: params + optimizer + vectorized env state
         # pytree + PRNG key (SURVEY.md §5 checkpoint/resume row)
-        checkpoint.save(args.ckpt, {
+        state = {
             "params": ts.params,
             "opt_state": ts.opt_state,
             "env_states": ts.env_states,
             "key": ts.key,
-        })
+        }
+        if hasattr(ts, "carry"):  # recurrent policy: persist LSTM state
+            state["carry"] = ts.carry
+        checkpoint.save(args.ckpt, state)
         print(f"saved full train state to {args.ckpt}")
 
 

@@ -16,12 +16,10 @@ def test_gymnasium_make_and_step():
                          camera_width=64, camera_height=64)
     obs, info = env.reset(seed=3)
     assert env.observation_space.contains(np.asarray(obs))
-    total_term = 0
     for _ in range(10):
         obs, r, term, trunc, info = env.step(np.array([0.5, 0.0], np.float32))
         assert np.isfinite(r)
         assert isinstance(term, bool) and isinstance(trunc, bool)
-        total_term += term
         if term or trunc:
             obs, info = env.reset()
     assert "Simulator" in info
@@ -41,3 +39,28 @@ def test_gymnasium_terminated_vs_truncated():
     # straight road at low speed: no crash; the horizon truncates
     assert results[-1] == (False, True)
     assert all(t == (False, False) for t in results[:-1])
+
+
+def test_gymnasium_crash_is_terminated_not_truncated():
+    import dtown.gymnasium_compat as gc
+
+    env = gc.DuckietownGymnasiumEnv(map_name="small_loop",
+                                    obs_type="state")
+    env.reset(seed=0)
+    term = trunc = False
+    for _ in range(200):  # drive hard right: leaves the lane quickly
+        _, r, term, trunc, _ = env.step([1.0, -1.0])
+        if term or trunc:
+            break
+    assert term and not trunc
+    assert r <= -999.0
+
+
+def test_gymnasium_rejects_auto_reset():
+    import pytest as _pytest
+
+    import dtown.gymnasium_compat as gc
+
+    with _pytest.raises(ValueError):
+        gc.DuckietownGymnasiumEnv(map_name="small_loop", obs_type="state",
+                                  auto_reset=True)

@@ -69,3 +69,16 @@ def test_nav_plain_step_matches_base_env_reward():
     np.testing.assert_allclose(
         np.asarray(out_nav.reward), np.asarray(out_base.reward), atol=1e-4
     )
+
+
+def test_nav_rgb_pallas_obs_path():
+    """RGB Nav uses the same batched renderer selection as step_batch
+    (fused Pallas kernel when cfg picks it)."""
+    cfg = EnvConfig(obs_type="rgb", camera_width=32, camera_height=32,
+                    renderer="pallas")
+    maps = map_loader.load_map("small_loop")
+    v_reset, v_step = tasks.make_nav_vec(cfg, maps, 8)
+    ns = v_reset(jax.random.PRNGKey(0))
+    ns, out = v_step(ns, jnp.zeros((8, 2), jnp.float32))
+    assert out.obs.shape == (8, 32, 32, 3) and out.obs.dtype == jnp.uint8
+    assert int(jnp.std(out.obs.astype(jnp.float32))) > 5
