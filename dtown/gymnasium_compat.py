@@ -110,3 +110,93 @@ def register_gymnasium():
 
 if gymnasium is not None:
     register_gymnasium()
+
+
+class DuckietownVectorEnv(gymnasium.vector.VectorEnv if gymnasium
+                          else object):
+    """gymnasium.vector.VectorEnv over dtown's jit/vmap batch core.
+
+    The reference has no vectorization at all (SURVEY.md §2
+    "Parallelism: none exist"); this adapter exposes dtown's on-device
+    batch — thousands of envs stepping in one XLA/Pallas program — to
+    gymnasium-API training stacks (CleanRL-style loops). Autoreset is
+    SAME_STEP: the in-graph auto-reset means a done step already
+    returns the NEW episode's first observation.
+
+        envs = dtown.gymnasium_compat.DuckietownVectorEnv(
+            "small_loop", num_envs=1024, obs_type="rgb")
+        obs, info = envs.reset(seed=0)
+        obs, rew, term, trunc, info = envs.step(actions)  # all [1024,...]
+    """
+
+    def __init__(self, map_name="small_loop", num_envs: int = 64,
+                 **cfg_kwargs):
+        assert gymnasium is not None, "gymnasium is not installed"
+        import jax
+
+        from dtown import env as env_core
+        from dtown import map_loader
+        from dtown.types import EnvConfig
+
+        cfg_kwargs.setdefault("auto_reset", True)
+        if not cfg_kwargs["auto_reset"]:
+            raise ValueError("DuckietownVectorEnv requires auto_reset")
+        self.cfg = EnvConfig(**cfg_kwargs)
+        self.maps = (
+            map_loader.stack_maps(list(map_name))
+            if isinstance(map_name, (list, tuple))
+            else map_loader.load_map(map_name)
+        )
+        self._v_reset, self._v_step = env_core.make_vec_env(
+            self.cfg, self.maps, num_envs
+        )
+        self.num_envs = num_envs
+        self.metadata = {"autoreset_mode":
+                         gymnasium.vector.AutoresetMode.SAME_STEP}
+        if self.cfg.obs_type == "rgb":
+            shape = (self.cfg.camera_height, self.cfg.camera_width,
+                     self.cfg.obs_channels)
+            self.single_observation_space = spaces.Box(
+                0, 255, shape, dtype=np.uint8)
+        else:
+            self.single_observation_space = spaces.Box(
+                -np.inf, np.inf, (11,), dtype=np.float32)
+        self.single_action_space = spaces.Box(-1.0, 1.0, (2,),
+                                              dtype=np.float32)
+        self.observation_space = gymnasium.vector.utils.batch_space(
+            self.single_observation_space, num_envs)
+        self.action_space = gymnasium.vector.utils.batch_space(
+            self.single_action_space, num_envs)
+        self._jax = jax
+        self._states = None
+
+    def reset(self, *, seed=None, options=None):
+        key = self._jax.random.PRNGKey(0 if seed is None else seed)
+        self._states = self._v_reset(key)
+        # first obs without advancing time: render on the fresh states
+        from dtown import env as env_core
+
+        obs = env_core.render_obs_batch(self.cfg, self.maps, self._states)
+        return np.asarray(obs), {}
+
+    def step(self, actions):
+        import jax.numpy as jnp
+
+        assert self._states is not None, "call reset() first"
+        self._states, out = self._v_step(
+            self._states, jnp.asarray(np.asarray(actions, np.float32))
+        )
+        rewards = np.asarray(out.reward)
+        done = np.asarray(out.done)
+        terminations = done & (rewards <= C.REWARD_INVALID_POSE + 1.0)
+        truncations = done & ~terminations
+        info = {
+            "lane_dist": np.asarray(out.lane_dist),
+            "in_lane": np.asarray(out.in_lane),
+            "collision": np.asarray(out.collision),
+        }
+        return (np.asarray(out.obs), rewards, terminations, truncations,
+                info)
+
+    def close_extras(self, **kwargs):
+        pass

@@ -64,3 +64,28 @@ def test_gymnasium_rejects_auto_reset():
     with _pytest.raises(ValueError):
         gc.DuckietownGymnasiumEnv(map_name="small_loop", obs_type="state",
                                   auto_reset=True)
+
+
+def test_gymnasium_vector_env():
+    import numpy as np
+
+    from dtown.gymnasium_compat import DuckietownVectorEnv
+
+    envs = DuckietownVectorEnv("small_loop", num_envs=16, obs_type="state")
+    assert envs.metadata["autoreset_mode"] == \
+        gymnasium.vector.AutoresetMode.SAME_STEP
+    obs, info = envs.reset(seed=0)
+    assert envs.observation_space.contains(np.asarray(obs))
+    acts = np.tile(np.array([0.8, -0.5], np.float32), (16, 1))
+    saw_done = False
+    for _ in range(60):  # hard right turn: guaranteed crashes
+        obs, rew, term, trunc, info = envs.step(acts)
+        assert obs.shape == (16, 11)
+        assert rew.shape == term.shape == trunc.shape == (16,)
+        if term.any():
+            saw_done = True
+            assert (rew[term] <= -999.0).all()
+    assert saw_done
+    # SAME_STEP autoreset: stepping continues without an explicit reset
+    obs, rew, term, trunc, info = envs.step(acts)
+    assert np.isfinite(rew).all()
