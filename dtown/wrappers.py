@@ -125,3 +125,64 @@ class NormalizeWrapper:
 
     def __getattr__(self, name):
         return getattr(self.env, name)
+
+
+class FrameStackWrapper:
+    """Stack the last k observations along the channel axis (gym-style
+    host wrapper; no reference counterpart — standard RL tooling for
+    velocity-unobservable pixel tasks)."""
+
+    def __init__(self, env, k: int = 4):
+        self.env = env
+        self.k = k
+        self._frames = None
+
+    def _stacked(self):
+        return np.concatenate(self._frames, axis=-1)
+
+    def reset(self):
+        obs = np.asarray(self.env.reset())
+        self._frames = [obs] * self.k
+        return self._stacked()
+
+    def step(self, action):
+        obs, r, d, i = self.env.step(action)
+        self._frames = self._frames[1:] + [np.asarray(obs)]
+        return self._stacked(), r, d, i
+
+    def __getattr__(self, name):
+        return getattr(self.env, name)
+
+
+def make_frame_stack_vec(cfg, maps, num_envs: int, k: int = 4):
+    """Jit-safe vectorized frame stack: (reset, step) whose carried
+    state is (env_states, frame buffer [k, B, ...]) and whose obs is the
+    last-axis concatenation of the k most recent frames. On an env's
+    done (in-graph auto-reset) its whole stack restarts from the new
+    episode's first observation — no cross-episode leakage."""
+    import jax
+
+    from dtown import env as env_core
+
+    v_reset, v_step = env_core.make_vec_env(cfg, maps, num_envs)
+
+    def _stack(buf):
+        return jnp.concatenate([buf[i] for i in range(k)], axis=-1)
+
+    @jax.jit
+    def fs_reset(key):
+        states = v_reset(key)
+        obs0 = env_core.render_obs_batch(cfg, maps, states)
+        buf = jnp.repeat(obs0[None], k, axis=0)
+        return (states, buf), _stack(buf)
+
+    @jax.jit
+    def fs_step(carry, actions):
+        states, buf = carry
+        states, out = v_step(states, actions)
+        buf = jnp.concatenate([buf[1:], out.obs[None]], axis=0)
+        dmask = out.done.reshape((1, -1) + (1,) * (out.obs.ndim - 1))
+        buf = jnp.where(dmask, out.obs[None], buf)
+        return (states, buf), out.replace(obs=_stack(buf))
+
+    return fs_reset, fs_step
