@@ -14,10 +14,11 @@ vreg op, and small-table lookups become `table_T @ onehot_T` MXU matmuls
 reshapes. The rollout loop carries the blob; EnvState <-> blob conversion
 happens once per rollout, not per step (dtown/ops/fused_env.py).
 
-Scope: domain_rand=False fast path (the benchmark configs). Maps with
-moving NPCs (walking duckies / scripted duckiebots) are guarded in
-ops/fused_env.make_fused_rollout until their state machines are folded
-into this kernel; traffic lights (static pose, phase-only) are supported.
+Scope (round 2): moving NPCs (walking duckies / scripted duckiebots —
+their state machines run in-kernel in rows F_NPC_BASE..), traffic-light
+phases, per-env domain randomization (DR_* rows, redrawn at in-kernel
+auto-reset), and stacked multimap blobs (F_MAPID offsets every table
+lookup) are all folded in.
 """
 from __future__ import annotations
 
