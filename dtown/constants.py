@@ -55,6 +55,10 @@ REWARD_INVALID_POSE = -1000.0
 REWARD_SPEED_COEF = 1.0
 REWARD_DIST_COEF = -10.0
 REWARD_COLLISION_COEF = 40.0
+# Nav task goal-tile bonus (reference: envs/duckietown_env.py::
+# DuckietownNav ends the episode on the goal tile; the bonus magnitude
+# is ours — the reference mount was empty, SURVEY records no value)
+NAV_GOAL_REWARD = 500.0
 
 # --- Map ---------------------------------------------------------------
 DEFAULT_TILE_SIZE = 0.585    # m (map yaml `tile_size`)

@@ -40,16 +40,27 @@ def _opt_bits(maps):
     return out
 
 
-def pack_blob(states, maps=None, domain_rand=False) -> jnp.ndarray:
+def pack_blob(states, maps=None, domain_rand=False,
+              nav_goal=None) -> jnp.ndarray:
     """Vmapped EnvState [B] -> blob f32 [NF, B].
 
     With maps given, moving-NPC state rows (poses/walk/vel from
     states.dyn) are included; with domain_rand, the per-env
-    randomization rows too. Blob height: nf_for(n_npc, domain_rand).
+    randomization rows too; with nav_goal ([B, 2] goal tiles) the Nav
+    rows. Blob height: nf_for(n_npc, domain_rand, nav).
     """
     B = states.pos.shape[0]
     npcs = sk.moving_npcs(maps) if maps is not None else []
-    rows = jnp.zeros((sk.nf_for(len(npcs), domain_rand), B), jnp.float32)
+    rows = jnp.zeros(
+        (sk.nf_for(len(npcs), domain_rand, nav_goal is not None), B),
+        jnp.float32,
+    )
+    if nav_goal is not None:
+        nvb = sk.nav_base(len(npcs), domain_rand)
+        rows = rows.at[nvb + sk.NAV_GI].set(
+            nav_goal[:, 0].astype(jnp.float32))
+        rows = rows.at[nvb + sk.NAV_GJ].set(
+            nav_goal[:, 1].astype(jnp.float32))
     rows = rows.at[sk.F_POS_X].set(states.pos[:, 0])
     rows = rows.at[sk.F_POS_Y].set(states.pos[:, 1])
     rows = rows.at[sk.F_POS_Z].set(states.pos[:, 2])
@@ -445,3 +456,71 @@ def make_fused_rollout(cfg: EnvConfig, maps, num_envs: int):
         return blob, rsum[-1], osum[-1]
 
     return init_blob, fused_step, rollout
+
+
+def make_fused_nav_rollout(cfg: EnvConfig, maps, num_envs: int):
+    """Nav task (gym_compat.DuckietownNav / tasks.nav_step) on the fused
+    kernel path: goal tiles live in blob rows, the goal bonus/done and
+    the drivable-tile goal redraw run INSIDE the state kernel.
+
+    Returns (init_blob, fused_step) — init_blob(key) -> (blob, states)
+    with per-env goals drawn like tasks._draw_goal; fused_step as in
+    make_fused_rollout. The state observation is unchanged (the goal is
+    task state, not an observable — reference Nav obs carries no goal).
+    """
+    from dtown import env as env_core
+    from dtown.tasks import _draw_goal
+
+    if num_envs % 8 != 0:
+        raise ValueError(
+            f"the fused kernel path requires num_envs divisible by 8 (TPU "
+            f"sublane width); got {num_envs}"
+        )
+    tables = sk.build_tables(cfg, maps)
+    nav_tables = sk.build_goal_table(maps)
+    render_plan = None
+    if cfg.obs_type == "rgb":
+        from dtown.render.blob_raster import build_render_plan
+
+        render_plan = build_render_plan(cfg, maps)
+
+    def init_blob(key):
+        k_env, k_goal = jax.random.split(key)
+        keys = jax.random.split(k_env, num_envs)
+        gkeys = jax.random.split(k_goal, num_envs)
+        if maps.tile_kind.ndim == 3:
+            idx = (jnp.arange(num_envs, dtype=jnp.int32)
+                   % maps.tile_kind.shape[0])
+        else:
+            idx = jnp.zeros((num_envs,), jnp.int32)
+        states = jax.vmap(lambda k, i: env_core.reset(cfg, maps, k, i))(
+            keys, idx
+        )
+        goals = jax.vmap(lambda m, k: _draw_goal(maps, m, k))(idx, gkeys)
+        return pack_blob(states, maps, cfg.domain_rand,
+                         nav_goal=goals), states
+
+    def fused_step(blob, states_template, actions):
+        blob = sk.state_step_pallas(cfg, maps, blob, actions, tables,
+                                    nav_tables=nav_tables)
+        out = unpack_outputs(blob)
+        if cfg.obs_type == "rgb":
+            obs = render_rgb_from_blob(cfg, maps, blob, states_template,
+                                       render_plan)
+        else:
+            inlane = blob[sk.F_OINLANE]
+            obs = jnp.stack(
+                [
+                    blob[sk.F_POS_X], blob[sk.F_POS_Z],
+                    jnp.cos(blob[sk.F_ANGLE]), jnp.sin(blob[sk.F_ANGLE]),
+                    blob[sk.F_SPEED],
+                    blob[sk.F_OLDIST] * inlane,
+                    blob[sk.F_OLDOT] * inlane,
+                    jnp.deg2rad(blob[sk.F_OLDEG]) * inlane,
+                    inlane, blob[sk.F_WVL], blob[sk.F_WVR],
+                ],
+                axis=-1,
+            )
+        return blob, out, obs
+
+    return init_blob, fused_step

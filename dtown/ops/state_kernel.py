@@ -70,9 +70,21 @@ def dr_base(n_npc: int) -> int:
     return F_NPC_BASE + NPC_ROWS * n_npc
 
 
-def nf_for(n_npc: int, domain_rand: bool = False) -> int:
+# Nav-task rows (only present on the fused Nav path): goal tile (i, j)
+# per env, checked in-kernel and redrawn from the drivable-tile table at
+# auto-reset (gym_compat.DuckietownNav / tasks.nav_step at kernel speed).
+NAV_ROWS = 2
+NAV_GI, NAV_GJ = 0, 1
+
+
+def nav_base(n_npc: int, domain_rand: bool = False) -> int:
+    return dr_base(n_npc) + (DR_ROWS if domain_rand else 0)
+
+
+def nf_for(n_npc: int, domain_rand: bool = False,
+           nav: bool = False) -> int:
     """Blob sublane count for a map with n_npc moving NPCs."""
-    rows = dr_base(n_npc) + (DR_ROWS if domain_rand else 0)
+    rows = nav_base(n_npc, domain_rand) + (NAV_ROWS if nav else 0)
     return max(NF, -(-rows // 8) * 8)
 
 
@@ -173,7 +185,8 @@ def _hash_u32(a, b):
 
 
 def make_state_kernel(cfg, Hg, Wg, n_words, M, n_spawn_ok, bb=None,
-                      npcs=(), moving_cols=(), opt_cols=(), multi=None):
+                      npcs=(), moving_cols=(), opt_cols=(), multi=None,
+                      nav=None):
     """Kernel factory; all map/shape facts static.
 
     npcs: static tuple of moving-NPC descriptors (moving_npcs()); their
@@ -182,6 +195,11 @@ def make_state_kernel(cfg, Hg, Wg, n_words, M, n_spawn_ok, bb=None,
     their live poses. moving_cols: (table_col, npc_idx) pairs mapping
     object-table columns to NPC indices (their static table entries are
     stale and are overridden).
+
+    nav: Nav-task descriptor (build_goal_table() output) — the kernel
+    then reads goal-tile rows, scores +NAV_GOAL_REWARD / done on goal
+    entry, and redraws the goal from the drivable-tile table at
+    auto-reset; the goal table rides one extra kernel operand.
 
     DTOWN_KERNEL_SKIP (debug): comma list in {lane,sat,reset,driv} to
     drop sections for performance attribution.
@@ -204,6 +222,9 @@ def make_state_kernel(cfg, Hg, Wg, n_words, M, n_spawn_ok, bb=None,
     domain_rand = bool(cfg.domain_rand)
     opt_bit_of_col = {c: k for k, c in enumerate(opt_cols)}
     drb = dr_base(len(npcs))
+    navb = nav_base(len(npcs), domain_rand)
+    goal_k = nav["goal_k"] if nav else 0
+    n_driv_list = nav["n_driv_list"] if nav else ()
 
     T_tiles = Hg * Wg
     # multimap: lookups offset by the env's map index (F_MAPID row)
@@ -215,7 +236,11 @@ def make_state_kernel(cfg, Hg, Wg, n_words, M, n_spawn_ok, bb=None,
     n_ok_list = multi["n_ok_list"] if multi else ()
 
     def kernel(blob_ref, act_ref, words_ref, ct_ref, ot_ref, bank_ref,
-               tsref, out_ref):
+               tsref, *rest):
+        if nav:
+            goal_ref, out_ref = rest
+        else:
+            (out_ref,) = rest
         f32 = jnp.float32
         row = lambda r: blob_ref[r, :][None, :]          # [1, BB]
 
@@ -234,6 +259,9 @@ def make_state_kernel(cfg, Hg, Wg, n_words, M, n_spawn_ok, bb=None,
         env_id = row(F_ENVID)
         map_row = row(F_MAPID)
         mi = map_row.astype(jnp.int32)
+        if nav:
+            goal_i = row(navb + NAV_GI)
+            goal_j = row(navb + NAV_GJ)
         if domain_rand:
             dr_rows = [row(drb + k) for k in range(DR_ROWS)]
 
@@ -622,6 +650,16 @@ def make_state_kernel(cfg, Hg, Wg, n_words, M, n_spawn_ok, bb=None,
         done = crashed | truncated
         reward = jnp.where(crashed, C.REWARD_INVALID_POSE, reward_alive)
 
+        if nav:
+            # Nav goal check on the post-step tile, live episodes only
+            # (tasks.nav_step / gym_compat.DuckietownNav semantics).
+            # floor(pos/ts) and the f32 goal rows are small exact ints.
+            g_fi = jnp.floor(pos_x * ts_inv)
+            g_fj = jnp.floor(pos_z * ts_inv)
+            reached = (g_fi == goal_i) & (g_fj == goal_j) & ~done
+            reward = jnp.where(reached, reward + C.NAV_GOAL_REWARD, reward)
+            done = done | reached
+
         # ---- auto-reset from the spawn bank ---------------------------
         lane_deg = ang_rad * (180.0 / np.pi)
         in_lane_f = in_lane.astype(f32)
@@ -666,6 +704,35 @@ def make_state_kernel(cfg, Hg, Wg, n_words, M, n_spawn_ok, bb=None,
             o_ldot = jnp.where(done, sp[BK_LDOT, :][None, :], o_ldot)
             o_ldeg = jnp.where(done, sp[BK_LDEG, :][None, :], o_ldeg)
             o_inlane = jnp.where(done, sp[BK_INLANE, :][None, :], o_inlane)
+            if nav:
+                # fresh goal: uniform drivable tile of the env's map
+                # (tasks._draw_goal), same one-hot-matmul fetch as the
+                # spawn bank, decorrelated hash stream
+                hg = _hash_u32(
+                    (rng_ctr.astype(jnp.int32) * 22695477 + 5)
+                    & 0x7FFFFFFF,
+                    (env_id.astype(jnp.int32) * 131 + 17) & 0x7FFFFFFF,
+                )
+                if multi:
+                    nd_v = jnp.full_like(hg, n_driv_list[0])
+                    for m_ in range(1, n_maps):
+                        nd_v = jnp.where(mi == m_, n_driv_list[m_], nd_v)
+                    gidx = mi * goal_k + hg % jnp.maximum(nd_v, 1)
+                else:
+                    gidx = hg % max(n_driv_list[0], 1)
+                ohg = (
+                    jax.lax.broadcasted_iota(
+                        jnp.int32, (n_maps * goal_k, bb), 0)
+                    == gidx
+                ).astype(f32)
+                gp = jax.lax.dot_general(
+                    goal_ref[:, :], ohg,
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=f32,
+                    precision=jax.lax.Precision.HIGHEST,
+                )  # [8, BB]
+                goal_i = jnp.where(done, gp[0, :][None, :], goal_i)
+                goal_j = jnp.where(done, gp[1, :][None, :], goal_j)
             # NPCs re-place at their initial poses on episode reset
             # (reference: Simulator.reset re-places dynamic objects);
             # duckie walk speed redrawn ~N(0.02, 0.005) via the in-kernel
@@ -765,12 +832,40 @@ def make_state_kernel(cfg, Hg, Wg, n_words, M, n_spawn_ok, bb=None,
                          npc_vels[i]])
         if domain_rand:
             rows.extend(dr_rows)
-        nf_total = nf_for(len(npcs), domain_rand)
+        if nav:
+            rows.extend([goal_i, goal_j])
+        nf_total = nf_for(len(npcs), domain_rand, bool(nav))
         while len(rows) < nf_total:
             rows.append(z)
         out_ref[:, :] = jnp.concatenate(rows, axis=0)
 
     return kernel
+
+
+def build_goal_table(maps):
+    """Drivable-tile table for the fused Nav path.
+
+    Returns dict(goal=[8, n_maps*goal_k] f32 — rows 0/1 are the (i, j)
+    tile coords, rest zero-padded to the 8-sublane minimum — goal_k,
+    n_driv_list). The kernel draws a uniform index into the env's map
+    segment and fetches via the same one-hot matmul as the spawn bank
+    (tasks._draw_goal semantics: uniform over drivable tiles).
+    """
+    if maps.tile_kind.ndim == 3:
+        grids = [np.asarray(maps.drivable[m])
+                 for m in range(maps.tile_kind.shape[0])]
+    else:
+        grids = [np.asarray(maps.drivable)]
+    coords = []
+    for g in grids:
+        j, i = np.nonzero(g)
+        coords.append(np.stack([i, j], axis=0).astype(np.float32))
+    n_driv_list = tuple(int(c.shape[1]) for c in coords)
+    goal_k = max(-(-max(n_driv_list) // 128) * 128, 128)
+    table = np.zeros((8, len(coords) * goal_k), dtype=np.float32)
+    for m, c in enumerate(coords):
+        table[:2, m * goal_k:m * goal_k + c.shape[1]] = c
+    return dict(goal=table, goal_k=goal_k, n_driv_list=n_driv_list)
 
 
 def build_tables(cfg, maps):
@@ -993,10 +1088,12 @@ def _build_tables_single(cfg, maps):
 
 
 def state_step_pallas(cfg, maps, blob, actions, tables=None,
-                      interpret=None):
+                      interpret=None, nav_tables=None):
     """One fused state step. blob: f32 [NF, B]; actions [B, 2].
 
     Returns the updated blob (outputs in the F_REWARD.. rows).
+    With nav_tables (build_goal_table), the blob carries goal-tile rows
+    and the kernel runs the Nav task (goal bonus/done/redraw) in-graph.
     """
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
@@ -1027,6 +1124,7 @@ def state_step_pallas(cfg, maps, blob, actions, tables=None,
         moving_cols=tables.get("moving_cols", ()),
         opt_cols=tables.get("opt_cols", ()),
         multi=tables.get("multi"),
+        nav=nav_tables,
     )
     ct = jnp.asarray(tables["ct"])
     words = jnp.asarray(tables["words"])
@@ -1034,31 +1132,39 @@ def state_step_pallas(cfg, maps, blob, actions, tables=None,
     bank = jnp.asarray(tables["bank"])
     tsv = jnp.full((1, 1), tables["ts_inv"], jnp.float32)
 
-    nf_total = nf_for(len(tables.get("npcs", ())), bool(cfg.domain_rand))
+    nf_total = nf_for(len(tables.get("npcs", ())), bool(cfg.domain_rand),
+                      nav_tables is not None)
     assert blob.shape[0] == nf_total, (blob.shape, nf_total)
     grid = (B // bb,)
+    in_specs = [
+        pl.BlockSpec((nf_total, bb), lambda b: (0, b),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((8, bb), lambda b: (0, b),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(words.shape, lambda b: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(ct.shape, lambda b: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(ot.shape, lambda b: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(bank.shape, lambda b: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1), lambda b: (0, 0),
+                     memory_space=pltpu.SMEM),
+    ]
+    operands = [blob, act_rows, words, ct, ot, bank, tsv]
+    if nav_tables is not None:
+        goal = jnp.asarray(nav_tables["goal"])
+        in_specs.append(pl.BlockSpec(goal.shape, lambda b: (0, 0),
+                                     memory_space=pltpu.VMEM))
+        operands.append(goal)
     out = pl.pallas_call(
         kern,
         out_shape=jax.ShapeDtypeStruct((nf_total, B), jnp.float32),
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((nf_total, bb), lambda b: (0, b),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, bb), lambda b: (0, b),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(words.shape, lambda b: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(ct.shape, lambda b: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(ot.shape, lambda b: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(bank.shape, lambda b: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1), lambda b: (0, 0),
-                         memory_space=pltpu.SMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((nf_total, bb), lambda b: (0, b),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(blob, act_rows, words, ct, ot, bank, tsv)
+    )(*operands)
     return out

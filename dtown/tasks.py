@@ -20,7 +20,9 @@ import jax.numpy as jnp
 from dtown import env as env_core
 from dtown.types import EnvConfig, EnvState, MapArrays
 
-GOAL_REWARD = 500.0  # gym_compat.DuckietownNav.GOAL_REWARD
+from dtown import constants as C
+
+GOAL_REWARD = C.NAV_GOAL_REWARD  # shared with gym_compat.DuckietownNav
 
 
 class NavState(NamedTuple):

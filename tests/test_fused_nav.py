@@ -1,0 +1,121 @@
+"""Nav task on the fused kernel path (ops/fused_env.make_fused_nav_rollout):
+goal rows in the blob, in-kernel bonus/done/redraw. Interpret mode (CPU)."""
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from dtown import map_loader
+from dtown.ops import fused_env, state_kernel as sk
+from dtown.types import EnvConfig
+
+
+def _mk(map_name="small_loop", envs=16, **kw):
+    cfg = EnvConfig(obs_type="state", **kw)
+    maps = (map_loader.stack_maps(list(map_name))
+            if isinstance(map_name, (list, tuple))
+            else map_loader.load_map(map_name))
+    return cfg, maps
+
+
+def _set_goals(blob, maps, goals):
+    npcs = sk.moving_npcs(maps)
+    nvb = sk.nav_base(len(npcs), False)
+    blob = blob.at[nvb + sk.NAV_GI].set(goals[:, 0].astype(jnp.float32))
+    blob = blob.at[nvb + sk.NAV_GJ].set(goals[:, 1].astype(jnp.float32))
+    return blob
+
+
+def test_fused_nav_matches_plain_away_from_goal():
+    """Goal parked off-map: nav rewards/dones equal the plain fused path
+    bit-for-bit (the nav sections only add the reached branch)."""
+    cfg, maps = _mk()
+    init_nav, step_nav = fused_env.make_fused_nav_rollout(cfg, maps, 16)
+    init_plain, step_plain, _ = fused_env.make_fused_rollout(cfg, maps, 16)
+    blob_nav, states = init_nav(jax.random.PRNGKey(0))
+    blob_nav = _set_goals(blob_nav, maps, jnp.full((16, 2), 99))
+    blob_plain = fused_env.pack_blob(states, maps, False)
+    tmpl = fused_env.template_states(cfg, maps, 16)
+    act = jnp.tile(jnp.array([[0.5, 0.1]], jnp.float32), (16, 1))
+    for _ in range(5):
+        blob_nav, out_n, _ = step_nav(blob_nav, tmpl, act)
+        blob_plain, out_p, _ = step_plain(blob_plain, tmpl, act)
+        np.testing.assert_array_equal(np.asarray(out_n.reward),
+                                      np.asarray(out_p.reward))
+        np.testing.assert_array_equal(np.asarray(out_n.done),
+                                      np.asarray(out_p.done))
+
+
+def test_fused_nav_goal_reached_bonus_done_respawn_redraw():
+    cfg, maps = _mk()
+    init_nav, step_nav = fused_env.make_fused_nav_rollout(cfg, maps, 16)
+    init_plain, step_plain, _ = fused_env.make_fused_rollout(cfg, maps, 16)
+    blob, states = init_nav(jax.random.PRNGKey(1))
+    tmpl = fused_env.template_states(cfg, maps, 16)
+    ts = float(maps.tile_size)
+    # goal := the tile each env currently stands on; a zero action keeps
+    # it there through the step
+    gi = np.floor(np.asarray(states.pos[:, 0]) / ts)
+    gj = np.floor(np.asarray(states.pos[:, 2]) / ts)
+    goals = jnp.asarray(np.stack([gi, gj], axis=1))
+    blob_nav = _set_goals(blob, maps, goals)
+    blob_plain = fused_env.pack_blob(states, maps, False)
+    act = jnp.zeros((16, 2), jnp.float32)
+    nb, out_n, _ = step_nav(blob_nav, tmpl, act)
+    _, out_p, _ = step_plain(blob_plain, tmpl, act)
+    r_n, r_p = np.asarray(out_n.reward), np.asarray(out_p.reward)
+    np.testing.assert_allclose(r_n, r_p + 500.0, rtol=1e-6)
+    assert np.asarray(out_n.done).all()
+    assert not np.asarray(out_p.done).any()
+    # respawned: post-reset pose differs for most envs (bank poses)
+    moved = (np.abs(np.asarray(nb[sk.F_POS_X]) -
+                    np.asarray(blob_nav[sk.F_POS_X])) > 1e-6)
+    assert moved.sum() >= 12
+    # goals redrawn onto drivable tiles
+    nvb = sk.nav_base(0, False)
+    g2i = np.asarray(nb[nvb + sk.NAV_GI]).astype(int)
+    g2j = np.asarray(nb[nvb + sk.NAV_GJ]).astype(int)
+    driv = np.asarray(maps.drivable)
+    assert driv[g2j, g2i].all()
+    # and dispersed (hash PRNG decorrelates envs)
+    assert len(set(zip(g2i.tolist(), g2j.tolist()))) > 3
+
+
+def test_fused_nav_multimap_goal_segments():
+    """On a 2-map stack, redrawn goals are drivable on the env's OWN map."""
+    cfg, maps = _mk(("small_loop", "zigzag_dists"))
+    init_nav, step_nav = fused_env.make_fused_nav_rollout(cfg, maps, 16)
+    blob, states = init_nav(jax.random.PRNGKey(2))
+    tmpl = fused_env.template_states(cfg, maps, 16)
+    ts = float(np.asarray(maps.tile_size).reshape(-1)[0])
+    gi = np.floor(np.asarray(states.pos[:, 0]) / ts)
+    gj = np.floor(np.asarray(states.pos[:, 2]) / ts)
+    blob = _set_goals(blob, maps, jnp.asarray(np.stack([gi, gj], 1)))
+    nb, out, _ = step_nav(blob, tmpl, jnp.zeros((16, 2), jnp.float32))
+    assert np.asarray(out.done).all()
+    npcs = sk.moving_npcs(maps)
+    nvb = sk.nav_base(len(npcs), False)
+    g2i = np.asarray(nb[nvb + sk.NAV_GI]).astype(int)
+    g2j = np.asarray(nb[nvb + sk.NAV_GJ]).astype(int)
+    mi = np.asarray(states.map_idx)
+    driv = np.asarray(maps.drivable)  # [n_maps, H, W]
+    assert driv[mi, g2j, g2i].all()
+
+
+def test_fused_nav_rollout_scan_runs():
+    cfg, maps = _mk()
+    init_nav, step_nav = fused_env.make_fused_nav_rollout(cfg, maps, 8)
+    blob, _ = init_nav(jax.random.PRNGKey(3))
+    tmpl = fused_env.template_states(cfg, maps, 8)
+    act = jnp.tile(jnp.array([[0.5, 0.0]], jnp.float32), (8, 1))
+
+    @jax.jit
+    def run(b):
+        def body(b, _):
+            b, out, obs = step_nav(b, tmpl, act)
+            return b, (out.reward.sum(), obs.sum())
+        return jax.lax.scan(body, b, None, length=10)
+
+    b2, (rs, os) = run(blob)
+    assert np.isfinite(np.asarray(rs)).all()
+    assert np.isfinite(np.asarray(os)).all()
