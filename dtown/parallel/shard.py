@@ -56,7 +56,7 @@ def make_sharded_env(cfg, maps, num_envs: int, mesh=None):
 
 
 def make_sharded_ppo(cfg, maps, num_envs: int, ppo=None, mesh=None,
-                     fused=False):
+                     fused=False, rnn=False, rnn_hidden=128):
     """PPO train step partitioned with shard_map: env batch sharded over
     the full mesh, params replicated, grads pmean'd over the mesh axes.
 
@@ -66,7 +66,9 @@ def make_sharded_ppo(cfg, maps, num_envs: int, ppo=None, mesh=None,
     reduce across hosts.
 
     fused=True runs each shard's rollouts through the fused Pallas
-    kernels (blob-carried env state; learn/ppo._make_ppo_fused)."""
+    kernels (blob-carried env state; learn/ppo._make_ppo_fused).
+    rnn=True shards the recurrent learner (learn/ppo_rnn): the per-env
+    LSTM carry is sharded on the env axis alongside the env states."""
     from dtown.learn.ppo import PPOConfig, make_ppo
 
     mesh = mesh or make_mesh()
@@ -76,6 +78,10 @@ def make_sharded_ppo(cfg, maps, num_envs: int, ppo=None, mesh=None,
     per_dev = num_envs // n_dev
     ppo = ppo or PPOConfig()
 
+    if rnn:
+        assert not fused, "rnn PPO uses the standard rollout path"
+        return _make_sharded_ppo_rnn(cfg, maps, per_dev, ppo, mesh, axes,
+                                     n_dev, rnn_hidden)
     init_local, train_step_local = make_ppo(cfg, maps, per_dev, ppo,
                                             fused=fused)
 
@@ -142,5 +148,69 @@ def make_sharded_ppo(cfg, maps, num_envs: int, ppo=None, mesh=None,
 
         new_key = jax.random.fold_in(key, 1)
         return TrainState(params, opt_state, env_states, new_key), metrics
+
+    return mesh, sharded_init, sharded_train_step
+
+
+def _make_sharded_ppo_rnn(cfg, maps, per_dev, ppo, mesh, axes, n_dev,
+                          hidden):
+    """shard_map plumbing for the recurrent learner: like the standard
+    path but the train state carries the per-env LSTM state, sharded on
+    the env axis (a P(axes) spec applied as a pytree prefix over the
+    (c, h) tuple)."""
+    from dtown.learn.ppo_rnn import RNNTrainState, make_ppo_rnn
+
+    init_local, train_step_local = make_ppo_rnn(cfg, maps, per_dev, ppo,
+                                                hidden=hidden)
+
+    def shard_index():
+        idx = jax.lax.axis_index(axes[0])
+        for a in axes[1:]:
+            idx = idx * jax.lax.axis_size(a) + jax.lax.axis_index(a)
+        return idx
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(axes),),
+        out_specs=(P(), P(axes), P(), P(axes)),
+        check_rep=False,
+    )
+    def _sharded_init(keys):
+        idx = shard_index()
+        ts = init_local(keys[0], env_key=jax.random.fold_in(keys[0], idx))
+        return ts.params, ts.env_states, ts.opt_state, ts.carry
+
+    def sharded_init(key):
+        keys = jnp.tile(key[None, :], (n_dev, 1))
+        params, env_states, opt_state, carry = jax.jit(_sharded_init)(keys)
+        return RNNTrainState(params, opt_state, env_states, key, carry)
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(), P(axes), P(), P(axes)),
+        out_specs=((P(), P(), P(axes), P(), P(axes)), P()),
+        check_rep=False,
+    )
+    def _sharded_train_step(params, opt_state, env_states, key, carry):
+        idx = shard_index()
+        local_key = jax.random.fold_in(key, idx)
+        ts = RNNTrainState(params, opt_state, env_states, local_key, carry)
+        ts, metrics = train_step_local(ts, axis_name=axes)
+        metrics = jax.tree_util.tree_map(
+            lambda m: jax.lax.pmean(m, axes), metrics
+        )
+        return (ts.params, ts.opt_state, ts.env_states, key,
+                ts.carry), metrics
+
+    @jax.jit
+    def sharded_train_step(ts):
+        (params, opt_state, env_states, key, carry), metrics = \
+            _sharded_train_step(ts.params, ts.opt_state, ts.env_states,
+                                ts.key, ts.carry)
+        new_key = jax.random.fold_in(key, 1)
+        return RNNTrainState(params, opt_state, env_states, new_key,
+                             carry), metrics
 
     return mesh, sharded_init, sharded_train_step

@@ -49,3 +49,23 @@ def test_rnn_carry_resets_on_done():
     r = _reset_carry(c, done)
     assert np.asarray(r[0][0]).sum() == 0 and np.asarray(r[0][1]).sum() == 8
     assert np.asarray(r[1][2]).sum() == 0 and np.asarray(r[1][3]).sum() == 16
+
+
+def test_rnn_sharded_train_step():
+    """Recurrent PPO inside shard_map on the 8-device virtual mesh: the
+    LSTM carry shards on the env axis, grads pmean, replay invariant
+    (mean_ratio == 1 at lr=0) holds under sharding."""
+    from dtown.parallel.shard import make_sharded_ppo
+
+    cfg = EnvConfig(obs_type="state")
+    maps = map_loader.load_map("small_loop")
+    mesh, init, train = make_sharded_ppo(
+        cfg, maps, 64, ppo=PPOConfig(rollout_len=8, minibatches=4, lr=0.0),
+        rnn=True, rnn_hidden=32,
+    )
+    ts = init(jax.random.PRNGKey(0))
+    assert "envs" in str(ts.carry[0].sharding)
+    ts, metrics = train(ts)
+    assert all(np.isfinite(float(v)) for v in metrics.values())
+    np.testing.assert_allclose(float(metrics["mean_ratio"]), 1.0,
+                               atol=1e-5)
