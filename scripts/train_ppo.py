@@ -90,13 +90,11 @@ def main():
         trunk=args.trunk,
     )
     if args.rnn:
-        from dtown.learn.ppo_rnn import make_ppo_rnn
-
         assert not args.fused, "--rnn uses the standard rollout path"
-        s_init, train_local = make_ppo_rnn(
-            cfg, maps, args.envs, ppo, hidden=args.rnn_hidden
+        mesh, s_init, s_train = make_sharded_ppo(
+            cfg, maps, args.envs, ppo=ppo, mesh=mesh, rnn=True,
+            rnn_hidden=args.rnn_hidden,
         )
-        s_train = jax.jit(lambda ts: train_local(ts))
     elif args.fused:
         import functools
 
