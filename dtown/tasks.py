@@ -87,9 +87,34 @@ def nav_step(cfg: EnvConfig, maps: MapArrays, ns: NavState, action):
     return NavState(st, goal, rng), out
 
 
-def make_nav_vec(cfg: EnvConfig, maps: MapArrays, num_envs: int):
+def goal_features(maps: MapArrays, ns: NavState):
+    """Per-env goal descriptor [B, 3]: the goal-tile center offset in
+    the agent frame (forward, right), plus its distance — appended to
+    state observations when goal_in_obs is set, making the task
+    goal-conditioned (the reference's Nav obs carries no goal, which
+    leaves its task unlearnable from observations; this is the rebuild's
+    extension)."""
+    st = ns.env
+    m = env_core.select_map(maps, st.map_idx)  # vmapped: one env
+    ts = m.tile_size
+    gx = (ns.goal[0].astype(jnp.float32) + 0.5) * ts
+    gz = (ns.goal[1].astype(jnp.float32) + 0.5) * ts
+    dx = gx - st.pos[0]
+    dz = gz - st.pos[2]
+    c = jnp.cos(st.angle)
+    s = jnp.sin(st.angle)
+    fwd = dx * c - dz * s      # dir_vec = (cos, 0, -sin)
+    right = dx * s + dz * c    # right_vec = (sin, 0, cos)
+    return jnp.stack([fwd, right, jnp.sqrt(dx * dx + dz * dz)])
+
+
+def make_nav_vec(cfg: EnvConfig, maps: MapArrays, num_envs: int,
+                 goal_in_obs: bool = False):
     """Jitted, vmapped (reset, step) for the Nav task — the vectorized
-    equivalent of gym_compat.DuckietownNav."""
+    equivalent of gym_compat.DuckietownNav. goal_in_obs appends the
+    agent-frame goal offset (goal_features) to state observations."""
+    if goal_in_obs and cfg.obs_type != "state":
+        raise ValueError("goal_in_obs requires obs_type='state'")
 
     @jax.jit
     def v_reset(key):
@@ -105,6 +130,11 @@ def make_nav_vec(cfg: EnvConfig, maps: MapArrays, num_envs: int):
         # same batched-obs path as step_batch (fused Pallas renderer
         # when cfg selects it)
         obs = env_core.render_obs_batch(cfg, maps, ns.env)
+        if goal_in_obs:
+            obs = jnp.concatenate(
+                [obs, jax.vmap(lambda s: goal_features(maps, s))(ns)],
+                axis=-1,
+            )
         return ns, out.replace(obs=obs)
 
     return v_reset, v_step

@@ -82,3 +82,24 @@ def test_nav_rgb_pallas_obs_path():
     ns, out = v_step(ns, jnp.zeros((8, 2), jnp.float32))
     assert out.obs.shape == (8, 32, 32, 3) and out.obs.dtype == jnp.uint8
     assert int(jnp.std(out.obs.astype(jnp.float32))) > 5
+
+
+def test_nav_goal_in_obs():
+    """goal_in_obs appends the agent-frame goal offset; the forward
+    component must be positive when the goal lies ahead and the distance
+    must match |goal_center - pos|."""
+    cfg = EnvConfig(obs_type="state")
+    maps = map_loader.load_map("small_loop")
+    v_reset, v_step = tasks.make_nav_vec(cfg, maps, 8, goal_in_obs=True)
+    ns = v_reset(jax.random.PRNGKey(0))
+    ns, out = v_step(ns, jnp.zeros((8, 2), jnp.float32))
+    assert out.obs.shape == (8, 14)  # 11 state + 3 goal features
+    ts = float(maps.tile_size)
+    gx = (np.asarray(ns.goal[:, 0]) + 0.5) * ts
+    gz = (np.asarray(ns.goal[:, 1]) + 0.5) * ts
+    pos = np.asarray(ns.env.pos)
+    d = np.hypot(gx - pos[:, 0], gz - pos[:, 2])
+    np.testing.assert_allclose(np.asarray(out.obs[:, 13]), d, rtol=1e-4)
+    fwd = np.asarray(out.obs[:, 11])
+    right = np.asarray(out.obs[:, 12])
+    np.testing.assert_allclose(np.hypot(fwd, right), d, rtol=1e-4)
