@@ -154,3 +154,70 @@ def eval_closed_loop(cfg, maps, params, policy, num_envs: int,
         body, (states, out, crashed0), None, length=steps
     )
     return 1.0 - crashed.mean(), rewards.mean()
+
+
+def collect_dagger(cfg, maps, params, policy, num_envs: int, steps: int,
+                   key, beta: float = 0.0):
+    """DAgger rollout: the LEARNER (mixed with the expert by beta)
+    drives, the EXPERT labels every visited state. Returns (obs, act)
+    shaped like collect_demos — aggregate with earlier rounds and
+    retrain (Ross et al.; the sim-to-real duckietown imitation pipeline
+    in PAPERS.md applies exactly this loop on the reference simulator).
+
+    beta: probability of executing the expert's action instead of the
+    learner's at each step (standard beta-schedule knob; 0 = pure
+    learner driving, 1 = collect_demos).
+    """
+    v_reset, _ = env_core.make_vec_env(cfg, maps, num_envs)
+    states = v_reset(key)
+    zeros = jnp.zeros((num_envs, 2), jnp.float32)
+    states, out = env_core.step_batch(cfg, maps, states, zeros)
+
+    def body(carry, k):
+        states, out = carry
+        label = expert_action(out)           # expert labels the state
+        learner = policy(params, out.obs)    # learner (or mix) drives
+        if beta > 0.0:
+            pick = jax.random.bernoulli(k, beta, (learner.shape[0], 1))
+            drive = jnp.where(pick, label, learner)
+        else:
+            drive = learner
+        obs = out.obs
+        states, out = env_core.step_batch(cfg, maps, states, drive)
+        return (states, out), (obs, label)
+
+    keys = jax.random.split(key, steps)
+    (_, _), (obs, act) = jax.lax.scan(body, (states, out), keys)
+    return obs, act
+
+
+def dagger_rounds(cfg, maps, num_envs: int, steps: int, key,
+                  rounds: int = 3, epochs_per_round: int = 4,
+                  lr: float = 1e-3, trunk: str = "nature",
+                  beta0: float = 0.5):
+    """Full on-device DAgger loop: BC on expert demos, then `rounds` of
+    learner-driven data collection with expert labels, aggregating the
+    dataset each round (beta decays by half per round). Returns
+    (params, policy, history)."""
+    init, train_epoch, policy = make_bc(cfg, lr=lr, trunk=trunk)
+    k_demo, k_init, key = jax.random.split(key, 3)
+    obs, act = collect_demos(cfg, maps, num_envs, steps, k_demo)
+    bc = init(k_init, obs.reshape((-1,) + obs.shape[2:]))
+    history = []
+    for _ in range(epochs_per_round):
+        bc, loss = train_epoch(bc, obs, act)
+    history.append(float(loss))
+    beta = beta0
+    for r in range(rounds):
+        key, k_roll = jax.random.split(key)
+        d_obs, d_act = collect_dagger(
+            cfg, maps, bc.params, policy, num_envs, steps, k_roll,
+            beta=beta,
+        )
+        obs = jnp.concatenate([obs, d_obs], axis=0)
+        act = jnp.concatenate([act, d_act], axis=0)
+        for _ in range(epochs_per_round):
+            bc, loss = train_epoch(bc, obs, act)
+        history.append(float(loss))
+        beta *= 0.5
+    return bc.params, policy, history

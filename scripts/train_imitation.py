@@ -41,6 +41,12 @@ def main():
     ap.add_argument("--batch", type=int, default=1024)
     ap.add_argument("--eval-steps", type=int, default=256)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--dagger-rounds", type=int, default=0,
+                    help="DAgger rounds after BC: learner drives, the "
+                         "expert labels, dataset aggregates")
+    ap.add_argument("--dagger-beta", type=float, default=0.5,
+                    help="expert-mix probability in round 0 (halves "
+                         "each round)")
     ap.add_argument("--ckpt", default=None)
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
@@ -69,6 +75,23 @@ def main():
         bc, loss = epoch(bc, obs, act)
         print(json.dumps({"epoch": e, "bc_loss": round(float(loss), 6),
                           "seconds": round(time.time() - t1, 1)}))
+
+    beta = args.dagger_beta
+    for r in range(args.dagger_rounds):
+        key, k_roll = jax.random.split(key)
+        d_obs, d_act = jax.jit(
+            lambda p, k, b=beta: im.collect_dagger(
+                cfg, maps, p, policy, args.envs, args.demo_steps, k,
+                beta=b)
+        )(bc.params, k_roll)
+        obs = jax.numpy.concatenate([obs, d_obs], axis=0)
+        act = jax.numpy.concatenate([act, d_act], axis=0)
+        for e in range(args.epochs):
+            bc, loss = epoch(bc, obs, act)
+        print(json.dumps({"dagger_round": r, "beta": round(beta, 3),
+                          "dataset": int(obs.shape[0] * obs.shape[1]),
+                          "bc_loss": round(float(loss), 6)}))
+        beta *= 0.5
 
     surv, mr = jax.jit(
         lambda p, k: im.eval_closed_loop(
