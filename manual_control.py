@@ -18,6 +18,10 @@ import numpy as np
 
 
 def build_env(args):
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     import dtown
 
     return dtown.make(
@@ -32,15 +36,16 @@ def build_env(args):
 
 def record(args):
     env = build_env(args)
+    top = args.view == "top_down"
     obs = env.reset()
-    frames = [obs]
+    frames = [env.render("top_down") if top else obs]
     obs, r, done, info = env.step([0.4, 0.0])
     ret = r
-    frames.append(obs)
+    frames.append(env.render("top_down") if top else obs)
     for _ in range(args.steps - 1):
         obs, r, done, info = env.step(_lane_action(info))
         ret += r
-        frames.append(obs)
+        frames.append(env.render("top_down") if top else obs)
         if done:
             break
     try:
@@ -131,8 +136,14 @@ def main():
     ap.add_argument("--record", action="store_true",
                     help="headless: write a GIF instead of TTY driving")
     ap.add_argument("--agent", default="lane")
+    ap.add_argument("--view", default="camera",
+                    choices=["camera", "top_down"],
+                    help="--record viewpoint: the agent camera or the "
+                         "bird's-eye map (render('top_down'))")
     ap.add_argument("--steps", type=int, default=300)
     ap.add_argument("--out", default="/tmp/dtown_drive.gif")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the local CPU backend")
     args = ap.parse_args()
 
     if args.record or not sys.stdin.isatty():
