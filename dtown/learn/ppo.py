@@ -63,16 +63,9 @@ def make_ppo(cfg, maps, num_envs: int, ppo: PPOConfig = PPOConfig(),
         return _make_ppo_fused(cfg, maps, num_envs, ppo, net, tx)
 
     def obs_of(states):
-        multimap = maps.tile_kind.ndim == 3
-        if cfg.obs_type == "rgb" and cfg.renderer == "pallas" and not multimap:
-            from dtown.render.pallas_raster import (
-                planes_to_nhwc, render_frames_pallas,
-            )
-
-            return planes_to_nhwc(
-                cfg, render_frames_pallas(cfg, maps, states)
-            )
-        return jax.vmap(lambda s: env_core.render_obs(cfg, maps, s))(states)
+        # the ONE batched-obs path (fused Pallas renderer when cfg
+        # selects it, grayscale luma included) — env.render_obs_batch
+        return env_core.render_obs_batch(cfg, maps, states)
 
     def init(key, env_key=None):
         k_env, k_net, k_carry = jax.random.split(key, 3)
