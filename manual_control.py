@@ -8,6 +8,9 @@ two modes are provided:
    viewport of the camera image.
  * --record mode: drive a scripted lane-follow controller and write the
    frames to an animated GIF for visual inspection.
+ * --serve PORT: additionally stream the live view to a browser
+   (dtown.utils.viewer.LiveViewer MJPEG server) — the headless
+   equivalent of the reference's live GL window.
 """
 from __future__ import annotations
 
@@ -34,18 +37,31 @@ def build_env(args):
     )
 
 
+def _make_viewer(args):
+    if args.serve is None:
+        return None
+    from dtown.utils.viewer import LiveViewer
+
+    v = LiveViewer(port=args.serve)
+    print(f"live view: {v.url}", file=sys.stderr)
+    return v
+
+
 def record(args):
     env = build_env(args)
+    viewer = _make_viewer(args)
     top = args.view == "top_down"
     obs = env.reset()
     frames = [env.render("top_down") if top else obs]
     obs, r, done, info = env.step([0.4, 0.0])
     ret = r
     frames.append(env.render("top_down") if top else obs)
-    for _ in range(args.steps - 1):
+    for t in range(args.steps - 1):
         obs, r, done, info = env.step(_lane_action(info))
         ret += r
         frames.append(env.render("top_down") if top else obs)
+        if viewer is not None:
+            viewer.update(frames[-1], caption=f"step {t} r={r:+.2f}")
         if done:
             break
     try:
@@ -72,6 +88,7 @@ def tty(args):
     import curses
 
     env = build_env(args)
+    viewer = _make_viewer(args)
 
     def loop(scr):
         curses.curs_set(0)
@@ -100,6 +117,8 @@ def tty(args):
                 action = [0.0, 0.0]
             obs, r, done, info = env.step(action)
             ret += r
+            if viewer is not None:
+                viewer.update(obs, caption=f"r={r:+.2f} ret={ret:+.1f}")
             if done:
                 env.reset()
                 ret = 0.0
@@ -144,6 +163,10 @@ def main():
     ap.add_argument("--out", default="/tmp/dtown_drive.gif")
     ap.add_argument("--cpu", action="store_true",
                     help="force the local CPU backend")
+    ap.add_argument("--serve", type=int, default=None, metavar="PORT",
+                    help="stream the live view to a browser on PORT "
+                         "(0 picks a free port) — the reference's "
+                         "render('human') window, headless")
     args = ap.parse_args()
 
     if args.record or not sys.stdin.isatty():

@@ -110,6 +110,10 @@ def main():
     ap.add_argument("--gif", default=None,
                     help="write a GIF of env 0 driving under the policy")
     ap.add_argument("--gif-steps", type=int, default=300)
+    ap.add_argument("--serve", type=int, default=None, metavar="PORT",
+                    help="stream env 0 driving under the policy to a "
+                         "browser (LiveViewer MJPEG; implies the "
+                         "single-env drive loop after the batch eval)")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
@@ -167,11 +171,17 @@ def main():
     })
     print(json.dumps(stats))
 
-    if args.gif:
+    if args.gif or args.serve is not None:
         write_gif(args, cfg, maps, net, params, obs_of)
 
 
 def write_gif(args, cfg, maps, net, params, obs_of):
+    viewer = None
+    if args.serve is not None:
+        from dtown.utils.viewer import LiveViewer
+
+        viewer = LiveViewer(port=args.serve)
+        print(f"live view: {viewer.url}", file=sys.stderr)
     rgb_cfg = cfg if cfg.obs_type == "rgb" else EnvConfig(
         obs_type="rgb", camera_width=max(args.size, 128),
         camera_height=max(args.size, 128), renderer="xla",
@@ -184,15 +194,21 @@ def write_gif(args, cfg, maps, net, params, obs_of):
     )
     frame_fn = jax.jit(lambda s: env_core.render_obs(rgb_cfg, maps, s))
     frames = [np.asarray(frame_fn(state))]
-    for _ in range(args.gif_steps):
+    for t in range(args.gif_steps):
         obs1 = jax.tree_util.tree_map(lambda x: x[None], state)
         obs = obs_of(obs1)[0] if cfg.obs_type == "rgb" else env_core.render_obs(
             cfg, maps, state
         )
         state, out = step1(state, act_fn(obs))
         frames.append(np.asarray(frame_fn(state)))
+        if viewer is not None:
+            viewer.update(frames[-1],
+                          caption=f"step {t} r={float(out.reward):+.2f}")
         if bool(out.done):
             break
+    if args.gif is None:
+        print(f"streamed {len(frames)} frames")
+        return
     try:
         from PIL import Image
 
