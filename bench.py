@@ -44,6 +44,10 @@ def main():
     ap.add_argument("--grayscale", action="store_true",
                     help="single in-kernel luma plane (BASELINE config 2)")
     ap.add_argument("--domain-rand", action="store_true")
+    ap.add_argument("--distortion", action="store_true",
+                    help="fisheye distortion on the obs (reference "
+                         "Distortion.distort; fused: one bf16 "
+                         "permutation matmul at <=96px)")
     ap.add_argument("--no-autoreset", action="store_true")
     ap.add_argument("--no-objects", action="store_true")
     ap.add_argument("--cpu", action="store_true",
@@ -66,6 +70,7 @@ def main():
         camera_height=H_,
         grayscale=args.grayscale,
         domain_rand=args.domain_rand,
+        distortion=args.distortion,
         auto_reset=not args.no_autoreset,
         render_objects=not args.no_objects,
         renderer=args.renderer,
@@ -138,6 +143,8 @@ def main():
             f"({steps_per_s/1e6:.3f} M steps/s) [fused]", file=sys.stderr,
         )
         obs_tag = "gray" if args.grayscale else args.obs
+        if args.distortion:
+            obs_tag += "_fisheye"
         print(json.dumps({
             "metric": f"env_steps_per_s_{W_}x{H_}_{obs_tag}"
                       f"_{args.envs}envs_{map_label}_fused",

@@ -38,6 +38,35 @@ def run_rollout(backend_cpu: bool, n_steps=50, B=64,
     return np.asarray(blob), outs
 
 
+def run_nav_rollout(n_steps=10, B=64, map_name="small_loop"):
+    """Fused Nav rollout (in-kernel goal bonus/done/redraw) — the nav
+    table gather mirrors the proven spawn-bank one-hot matmul, but this
+    is its first Mosaic build (the CI suite runs it in interpret only).
+    On CPU this runs interpret mode; on TPU the real Mosaic kernel."""
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    from dtown import map_loader
+    from dtown.ops.fused_env import make_fused_nav_rollout, template_states
+    from dtown.types import EnvConfig
+
+    cfg = EnvConfig(obs_type="state", auto_reset=True)
+    maps = map_loader.load_map(map_name)
+    init_blob, fused_step = make_fused_nav_rollout(cfg, maps, B)
+    blob, _ = init_blob(jax.random.PRNGKey(3))
+    tmpl = template_states(cfg, maps, B)
+    actions = jnp.tile(jnp.array([0.5, 0.2], jnp.float32), (B, 1))
+    f = jax.jit(lambda b, a: fused_step(b, tmpl, a))
+    rews, dones = [], []
+    for _ in range(n_steps):
+        blob, out, obs = f(blob, actions)
+        rews.append(np.asarray(out.reward))
+        dones.append(np.asarray(out.done))
+    return np.asarray(rews), np.asarray(dones)
+
+
 def run_render(interpret: bool, map_name="loop_obstacles", B=64):
     """Render B deterministic poses through the blob kernel.
 
@@ -76,10 +105,16 @@ def main():
     import numpy as np
 
     # child runs: TPU in THIS process, CPU interpret in a subprocess
+    nav_only = os.environ.get("DTOWN_TPU_NAV_ONLY") == "1"
     if os.environ.get("DTOWN_TPU_CHILD") == "cpu":
         import jax
 
         jax.config.update("jax_platforms", "cpu")
+        rew_n, done_n = run_nav_rollout()
+        np.save("/tmp/dtown_interp_nav_rew.npy", rew_n)
+        np.save("/tmp/dtown_interp_nav_done.npy", done_n)
+        if nav_only:
+            return
         blob, outs = run_rollout(True)
         np.save("/tmp/dtown_interp_blob.npy", blob)
         np.save("/tmp/dtown_interp_rew.npy",
@@ -101,6 +136,20 @@ def main():
         os.path.abspath(__file__)))
     subprocess.run([sys.executable, os.path.abspath(__file__)], env=env,
                    check=True, timeout=1800)
+
+    # fused Nav kernel: first Mosaic build (STATUS TPU-queue item 6)
+    rew_nt, done_nt = run_nav_rollout()
+    rew_nc = np.load("/tmp/dtown_interp_nav_rew.npy")
+    done_nc = np.load("/tmp/dtown_interp_nav_done.npy")
+    dn = np.abs(rew_nt - rew_nc)
+    nav_done_mm = (done_nt != done_nc).mean()
+    print(f"nav reward diff: median {np.median(dn):.2e} "
+          f"max {dn.max():.2e}; done mismatch {nav_done_mm:.4f}")
+    assert np.median(dn) < 1e-4, "nav kernel TPU-vs-interpret gap"
+    assert nav_done_mm < 0.01, "nav done divergence"
+    if nav_only:
+        print("TPU_VS_INTERPRET (nav only): OK")
+        return
 
     blob_t, outs_t = run_rollout(False)
     blob_c = np.load("/tmp/dtown_interp_blob.npy")
