@@ -15,3 +15,4 @@ python bench.py --grayscale --map small_loop                  # BASELINE config 
 python bench.py --grayscale                                   # grayscale obstacles
 python bench.py --map udem1 --size 96 --domain-rand           # BASELINE config 4
 python bench.py --width 640 --height 480 --envs 512           # reference-native res
+python bench.py --distortion                                  # fisheye obs (reference distortion=True)
