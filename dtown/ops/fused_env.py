@@ -315,12 +315,9 @@ def render_rgb_from_blob(cfg: EnvConfig, maps, blob, states_template,
     if plan is not None:
         from dtown.render.blob_raster import render_frames_from_blob
 
-        obs = render_frames_from_blob(cfg, maps, blob, plan)
-        if cfg.distortion:
-            from dtown.render.distortion import apply_distortion_planes
-
-            obs = apply_distortion_planes(cfg, obs)
-        return obs
+        # cfg.distortion is baked into the kernel's ray table (exact,
+        # zero per-step cost) — no post-render warp
+        return render_frames_from_blob(cfg, maps, blob, plan)
     from dtown import env as env_core
 
     states = update_states_from_blob(states_template, blob, maps,

@@ -86,9 +86,13 @@ def pack_tile_words(kind, ang):
 def build_render_plan(cfg, maps):
     """Bake the full static scene plan, or None if ineligible.
 
-    Eligible: concrete single map, domain_rand off, no moving NPCs
-    (traffic lights allowed — pose static, lamp phase derived from the
-    per-env step counter in-kernel).
+    Eligible: concrete (non-traced) maps with <= 24 objects per map —
+    single maps or stacks of <= 8 maps (<= 48 objects total, per-map
+    cluster predication). Moving NPCs (<= 8; pose read from the blob NPC
+    rows at render time), domain randomization (per-env DR blob rows)
+    and traffic lights (lamp phase from the per-env step counter) are
+    all supported in-plan. Returns None for traced map arrays or scenes
+    over budget (callers fall back to the row-fed / XLA paths).
     """
     if maps.tile_kind.ndim == 3:
         # stacked multimap: per-map plans merged; every lookup in-kernel
@@ -333,13 +337,21 @@ def _cluster_bounds(group):
     return cx, cz, r_c, r_v
 
 
-def _make_blob_kernel(H, W, plan, epb, grayscale=False, s_blk=None):
+def _make_blob_kernel(H, W, plan, epb, grayscale=False, s_blk=None,
+                      fisheye=False):
     """Kernel: blob rows [epb, NF] -> uint8 frames [epb, C, S, 128]
     (C = 1 luma plane under grayscale, else 3 RGB planes).
 
     s_blk < S tiles the frame over a second grid dimension (pixel-row
     blocks): each program renders s_blk of the S sublane rows, keeping
-    VMEM bounded at the reference's native 640x480 (S = 2400)."""
+    VMEM bounded at the reference's native 640x480 (S = 2400).
+
+    fisheye: the camera distortion (reference distortion.py::Distortion,
+    SURVEY §2.14) baked at ray level — the kernel takes an extra input
+    of per-pixel NDC ray factors (distortion.undistorted_ndc) replacing
+    the linear iota ramps, so distortion costs nothing per step and is
+    exact (no post-render resample). Per-env DR fov scaling still
+    multiplies on top, matching the remap-after-render semantics."""
     import os
 
     # Per-object lax.cond predication of the object pass. A/B override:
@@ -399,19 +411,29 @@ def _make_blob_kernel(H, W, plan, epb, grayscale=False, s_blk=None):
     multi = plan.get("multi")
     npw_m = multi["npw"] if multi else 0
 
-    def kernel(blob_ref, out_ref):
+    def kernel(blob_ref, *refs):
         # blob_ref: transposed blob rows [epb, NF]
+        if fisheye:
+            ndc_ref, out_ref = refs
+        else:
+            (out_ref,) = refs
         f32 = jnp.float32
-        yy = jax.lax.broadcasted_iota(jnp.int32, (s_blk, LANE_N), 0)
-        ll = jax.lax.broadcasted_iota(jnp.int32, (s_blk, LANE_N), 1)
-        if tiled:
-            yy = yy + pl.program_id(1) * s_blk
-        p = yy * LANE_N + ll
-        y = p // W
-        x = p - y * W
-        # ndc ray factors before the fov scale (static over envs)
-        xn_b = ((x.astype(f32) + 0.5) * (1.0 / W) - 0.5) * 2.0
-        yn_b = (0.5 - (y.astype(f32) + 0.5) * (1.0 / H)) * 2.0
+        if fisheye:
+            # distortion baked into the ray table: per-pixel NDC factors
+            # from the Newton-inverted plumb-bob model (this row block)
+            xn_b = ndc_ref[0]
+            yn_b = ndc_ref[1]
+        else:
+            yy = jax.lax.broadcasted_iota(jnp.int32, (s_blk, LANE_N), 0)
+            ll = jax.lax.broadcasted_iota(jnp.int32, (s_blk, LANE_N), 1)
+            if tiled:
+                yy = yy + pl.program_id(1) * s_blk
+            p = yy * LANE_N + ll
+            y = p // W
+            x = p - y * W
+            # ndc ray factors before the fov scale (static over envs)
+            xn_b = ((x.astype(f32) + 0.5) * (1.0 / W) - 0.5) * 2.0
+            yn_b = (0.5 - (y.astype(f32) + 0.5) * (1.0 / H)) * 2.0
 
         for e in range(epb):
             px_s = blob_ref[e, sk.F_POS_X]
@@ -900,12 +922,15 @@ def render_frames_from_blob(cfg, maps, blob, plan, epb=None,
             if S % cand == 0:
                 s_blk = cand
                 break
+    fisheye = bool(cfg.distortion)
     kernel = _make_blob_kernel(H, W, plan, epb, grayscale=cfg.grayscale,
-                               s_blk=s_blk)
+                               s_blk=s_blk, fisheye=fisheye)
     if s_blk == S:
         grid = (B // epb,)
         in_specs = [pl.BlockSpec((epb, nf), lambda b: (b, 0),
                                  memory_space=pltpu.VMEM)]
+        ndc_spec = pl.BlockSpec((2, S, LANE_N), lambda b: (0, 0, 0),
+                                memory_space=pltpu.VMEM)
         out_spec = pl.BlockSpec((epb, C, S, LANE_N),
                                 lambda b: (b, 0, 0, 0),
                                 memory_space=pltpu.VMEM)
@@ -913,9 +938,20 @@ def render_frames_from_blob(cfg, maps, blob, plan, epb=None,
         grid = (B // epb, S // s_blk)
         in_specs = [pl.BlockSpec((epb, nf), lambda b, sb: (b, 0),
                                  memory_space=pltpu.VMEM)]
+        ndc_spec = pl.BlockSpec((2, s_blk, LANE_N),
+                                lambda b, sb: (0, sb, 0),
+                                memory_space=pltpu.VMEM)
         out_spec = pl.BlockSpec((epb, C, s_blk, LANE_N),
                                 lambda b, sb: (b, 0, sb, 0),
                                 memory_space=pltpu.VMEM)
+    operands = [blob.T]
+    if fisheye:
+        from dtown.render.distortion import undistorted_ndc
+
+        xb, yb = undistorted_ndc(W, H)
+        ndc = np.stack([xb.reshape(S, LANE_N), yb.reshape(S, LANE_N)])
+        in_specs.append(ndc_spec)
+        operands.append(jnp.asarray(ndc))
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((B, C, S, LANE_N), jnp.uint8),
@@ -923,4 +959,4 @@ def render_frames_from_blob(cfg, maps, blob, plan, epb=None,
         in_specs=in_specs,
         out_specs=out_spec,
         interpret=interpret,
-    )(blob.T)
+    )(*operands)

@@ -27,8 +27,9 @@ K1, K2, K3 = -0.28, 0.07, 0.0
 
 
 @functools.lru_cache(maxsize=None)
-def _remap_grid(width: int, height: int):
-    """Integer source-pixel grid [H, W] (flattened index) for the warp."""
+def _undistort_coords(width: int, height: int):
+    """Newton-inverted undistorted normalized coords (xu, yu) [H, W] at
+    every destination (fisheye) pixel center."""
     fx, fy = FX * width, FY * height
     cx, cy = CX * width, CY * height
 
@@ -45,12 +46,45 @@ def _remap_grid(width: int, height: int):
         fp = 1 + 3 * K1 * ru**2 + 5 * K2 * ru**4 + 7 * K3 * ru**6
         ru = ru - f / np.maximum(fp, 1e-6)
     scale = np.where(rd > 1e-9, ru / np.maximum(rd, 1e-9), 1.0)
-    xu = xd * scale
-    yu = yd * scale
+    return xd * scale, yd * scale
 
+
+@functools.lru_cache(maxsize=None)
+def _remap_grid(width: int, height: int):
+    """Integer source-pixel grid [H, W] (flattened index) for the warp."""
+    fx, fy = FX * width, FY * height
+    cx, cy = CX * width, CY * height
+    xu, yu = _undistort_coords(width, height)
     su = np.clip((xu * fx + cx).astype(np.int32), 0, width - 1)
     sv = np.clip((yu * fy + cy).astype(np.int32), 0, height - 1)
     return sv * width + su  # numpy: trace-safe cached constant
+
+
+@functools.lru_cache(maxsize=None)
+def undistorted_ndc(width: int, height: int):
+    """Per-pixel NDC ray factors implementing the fisheye AT RAY LEVEL.
+
+    The renderers build camera rays as d = fwd + xn*right + yn*up with
+    xn = xn_b * tan(fov_x/2), yn = yn_b * tan(fov_y/2) and LINEAR ramps
+    xn_b = ((x+.5)/W - .5)*2, yn_b = (.5 - (y+.5)/H)*2. Substituting
+    xn_b -> 2*FX*xu, yn_b -> -2*FY*yu (this function) renders destination
+    pixel p directly along the ray the post-render remap would have
+    sampled at the CONTINUOUS source coordinate (the remap then floors it
+    to the nearest source pixel): with cx = W/2, the remap source
+    u* = xu*fx + cx maps to xn = (u*/W - .5)*2*tanx = 2*FX*xu*tanx.
+
+    Ray-level distortion is therefore exact (no nearest-neighbor
+    resample), free (the ramp was per-pixel math anyway), composes with
+    per-env DR fov scaling identically (the remap acted on pixels,
+    independent of fov), and works at any resolution (no [HW, HW]
+    permutation matrix). Returns float32 (xb, yb), each [H, W]; numpy
+    (trace-safe cached constant).
+    """
+    xu, yu = _undistort_coords(width, height)
+    return (
+        (2.0 * FX * xu).astype(np.float32),
+        (-2.0 * FY * yu).astype(np.float32),
+    )
 
 
 def apply_distortion(cfg, rgb):
@@ -84,17 +118,24 @@ PERM_MATMUL_MAX_PIXELS = 96 * 96
 
 def apply_distortion_planes(cfg, planes):
     """Fisheye warp for the fused renderer's uint8 channel planes
-    [B, 3, S, 128] — one bf16 permutation matmul, no gathers. Large
-    resolutions fall back to the gather path (dense matrix too big)."""
-    B = planes.shape[0]
+    [B, C, S, 128] (C=3 RGB or 1 luma) — one bf16 permutation matmul, no
+    gathers. Large resolutions fall back to the gather path (dense
+    matrix too big).
+
+    LEGACY post-render path: production renderers bake the distortion
+    into the per-pixel ray table instead (undistorted_ndc), which is
+    exact and free; this warp remains the recorded remap semantics the
+    ray-level path is tested against (tests/test_distortion_fused.py).
+    """
+    B, C = planes.shape[0], planes.shape[1]
     H, W = cfg.camera_height, cfg.camera_width
     hw = H * W
     if hw > PERM_MATMUL_MAX_PIXELS:
         grid = jnp.asarray(_remap_grid(W, H)).reshape(-1)
-        flat = planes.reshape(B * 3, hw)
+        flat = planes.reshape(B * C, hw)
         return flat[:, grid].reshape(planes.shape)
     P = jnp.asarray(_perm_matrix_bf16(W, H), jnp.bfloat16)
-    flat = planes.reshape(B * 3, hw).astype(jnp.bfloat16)
+    flat = planes.reshape(B * C, hw).astype(jnp.bfloat16)
     warped = jax.lax.dot_general(
         flat, P,
         dimension_numbers=(((1,), (1,)), ((), ())),

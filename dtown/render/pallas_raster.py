@@ -190,8 +190,23 @@ def _shade_pixels(kind, angle_idx, variant, u, v, present=None):
     return r_, g_, b_
 
 
-def _make_kernel(H, W, Hg, Wg, n_words, Kvis, sublanes, present=None):
+def _ndc_planes(H, W, sublanes, fisheye):
+    """Per-pixel NDC ray factor planes [S, 128] as numpy compile-time
+    constants — the Newton-inverted fisheye ray table when fisheye
+    (distortion.undistorted_ndc: exact ray-level distortion, no
+    post-render remap), else None (kernels keep the iota ramps)."""
+    if not fisheye:
+        return None
+    from dtown.render.distortion import undistorted_ndc
+
+    xb, yb = undistorted_ndc(W, H)
+    return (xb.reshape(sublanes, LANE_N), yb.reshape(sublanes, LANE_N))
+
+
+def _make_kernel(H, W, Hg, Wg, n_words, Kvis, sublanes, present=None,
+                 fisheye=False):
     """Build the kernel fn for static image/map dims."""
+    ndc = _ndc_planes(H, W, sublanes, fisheye)
 
     def kernel(cam_ref, words_ref, obj_ref, prim_ref, out_ref):
         f32 = jnp.float32
@@ -211,9 +226,14 @@ def _make_kernel(H, W, Hg, Wg, n_words, Kvis, sublanes, present=None):
         tanx = cam[0, 0, C_TANX]
         tany = cam[0, 0, C_TANY]
 
-        # ndc in [-1, 1]; y=0 is the top row (+1)
-        xn = ((x.astype(f32) + 0.5) / W - 0.5) * 2.0 * tanx
-        yn = (0.5 - (y.astype(f32) + 0.5) / H) * 2.0 * tany
+        # ndc in [-1, 1]; y=0 is the top row (+1). Under fisheye the
+        # ramps are replaced by the baked distortion ray table.
+        if ndc is None:
+            xn = ((x.astype(f32) + 0.5) / W - 0.5) * 2.0 * tanx
+            yn = (0.5 - (y.astype(f32) + 0.5) / H) * 2.0 * tany
+        else:
+            xn = jnp.asarray(ndc[0]) * tanx
+            yn = jnp.asarray(ndc[1]) * tany
 
         dx = cam[0, 0, C_FWD] + xn * cam[0, 0, C_RIGHT] + yn * cam[0, 0, C_UP]
         dy = cam[0, 0, C_FWD + 1] + xn * cam[0, 0, C_RIGHT + 1] + yn * cam[0, 0, C_UP + 1]
@@ -591,7 +611,7 @@ def render_frames_pallas(cfg, maps, states, interpret=None):
 
     if scene is not None:
         kernel = _make_kernel_static(H, W, Hg, Wg, n_words, S, present,
-                                     scene)
+                                     scene, fisheye=cfg.distortion)
         out = pl.pallas_call(
             kernel,
             out_shape=jax.ShapeDtypeStruct((B, 3, S, LANE_N), jnp.uint8),
@@ -608,7 +628,7 @@ def render_frames_pallas(cfg, maps, states, interpret=None):
         )(cam, words, flags)
     else:
         kernel = _make_kernel(H, W, Hg, Wg, n_words, Kvis, S,
-                              present=present)
+                              present=present, fisheye=cfg.distortion)
         out = pl.pallas_call(
             kernel,
             out_shape=jax.ShapeDtypeStruct((B, 3, S, LANE_N), jnp.uint8),
@@ -624,10 +644,7 @@ def render_frames_pallas(cfg, maps, states, interpret=None):
                                    memory_space=pltpu.VMEM),
             interpret=interpret,
         )(cam, words, obj, prim)
-    if cfg.distortion:
-        from dtown.render.distortion import apply_distortion_planes
-
-        out = apply_distortion_planes(cfg, out)
+    # cfg.distortion is baked into the kernels' ray tables above
     return out
 
 
@@ -700,8 +717,10 @@ def _build_static_scene(cfg, maps):
     return scene
 
 
-def _make_kernel_static(H, W, Hg, Wg, n_words, sublanes, present, scene):
+def _make_kernel_static(H, W, Hg, Wg, n_words, sublanes, present, scene,
+                        fisheye=False):
     """Kernel with the object scene baked in (see _build_static_scene)."""
+    ndc = _ndc_planes(H, W, sublanes, fisheye)
 
     def kernel(cam_ref, words_ref, flags_ref, out_ref):
         f32 = jnp.float32
@@ -718,8 +737,15 @@ def _make_kernel_static(H, W, Hg, Wg, n_words, sublanes, present, scene):
         eye1 = cam[0, 0, C_EYE + 1]
         eye2 = cam[0, 0, C_EYE + 2]
 
-        xn = ((x.astype(f32) + 0.5) / W - 0.5) * 2.0 * cam[0, 0, C_TANX]
-        yn = (0.5 - (y.astype(f32) + 0.5) / H) * 2.0 * cam[0, 0, C_TANY]
+        if ndc is None:
+            xn = ((x.astype(f32) + 0.5) / W - 0.5) * 2.0 \
+                * cam[0, 0, C_TANX]
+            yn = (0.5 - (y.astype(f32) + 0.5) / H) * 2.0 \
+                * cam[0, 0, C_TANY]
+        else:
+            # baked fisheye ray table (exact ray-level distortion)
+            xn = jnp.asarray(ndc[0]) * cam[0, 0, C_TANX]
+            yn = jnp.asarray(ndc[1]) * cam[0, 0, C_TANY]
         dx = cam[0, 0, C_FWD] + xn * cam[0, 0, C_RIGHT] + yn * cam[0, 0, C_UP]
         dy = cam[0, 0, C_FWD + 1] + xn * cam[0, 0, C_RIGHT + 1] \
             + yn * cam[0, 0, C_UP + 1]

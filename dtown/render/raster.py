@@ -50,10 +50,22 @@ def camera_rays(cfg, state):
 
     tan_half = jnp.tan(0.5 * jnp.deg2rad(state.cam_fov_y))
     aspect = W / H
-    ys = (0.5 - (jnp.arange(H, dtype=jnp.float32) + 0.5) / H) * 2.0  # +1 top
-    xs = ((jnp.arange(W, dtype=jnp.float32) + 0.5) / W - 0.5) * 2.0
-    yg = ys[:, None, None]
-    xg = xs[None, :, None]
+    if cfg.distortion:
+        # fisheye baked at ray level: per-pixel NDC factors from the
+        # Newton-inverted plumb-bob model (reference distortion.py
+        # applied cv2.remap AFTER rendering; sampling the distorted ray
+        # directly is the exact continuous form of that remap — see
+        # distortion.undistorted_ndc)
+        from dtown.render.distortion import undistorted_ndc
+
+        xb, yb = undistorted_ndc(W, H)
+        xg = jnp.asarray(xb)[:, :, None]
+        yg = jnp.asarray(yb)[:, :, None]
+    else:
+        ys = (0.5 - (jnp.arange(H, dtype=jnp.float32) + 0.5) / H) * 2.0
+        xs = ((jnp.arange(W, dtype=jnp.float32) + 0.5) / W - 0.5) * 2.0
+        yg = ys[:, None, None]  # +1 top
+        xg = xs[None, :, None]
     d = (
         forward[None, None, :]
         + xg * (tan_half * aspect) * right[None, None, :]
@@ -440,10 +452,7 @@ def render_frame(cfg, maps, state):
         if tri_slots:
             rgb, t_bg = _render_tri_objects(cfg, maps, state, rays, eye,
                                             rgb, t_bg)
-    if cfg.distortion:
-        from dtown.render.distortion import apply_distortion
-
-        rgb = apply_distortion(cfg, rgb)
+    # cfg.distortion is baked into camera_rays' per-pixel ray table
     rgb = jnp.clip(rgb, 0.0, 1.0)
     if cfg.grayscale:
         luma = (

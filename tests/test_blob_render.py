@@ -121,7 +121,8 @@ def test_blob_render_ineligible_cases():
 
 
 def test_fused_distortion_blob_path():
-    """Fisheye distortion composes after the blob render kernel."""
+    """Fisheye distortion (baked into the kernel ray table) changes the
+    fused observation stream."""
     from dtown.ops.fused_env import make_fused_rollout
 
     cfg = EnvConfig(obs_type="rgb", camera_width=64, camera_height=64,
@@ -140,6 +141,33 @@ def test_fused_distortion_blob_path():
     blob02, out0, obs0 = jax.jit(step0)(blob0, states0, actions)
     assert np.abs(np.asarray(obs).astype(int)
                   - np.asarray(obs0).astype(int)).mean() > 1.0
+
+
+@pytest.mark.parametrize("grayscale", [False, True])
+def test_blob_render_fisheye_matches_xla(grayscale):
+    """Ray-level fisheye: the blob kernel's baked NDC table must agree
+    with the XLA renderer's (both sample the identical distorted rays —
+    same tolerance as the undistorted equivalence test). grayscale=True
+    also pins the C=1 path that crashed the legacy post-render warp."""
+    cfg = EnvConfig(obs_type="rgb", camera_width=64, camera_height=64,
+                    distortion=True, grayscale=grayscale,
+                    auto_reset=False)
+    maps = map_loader.load_map("loop_obstacles")
+    plan = build_render_plan(cfg, maps)
+    assert plan is not None
+    keys = jax.random.split(jax.random.PRNGKey(3), 8)
+    idx = jnp.zeros((8,), jnp.int32)
+    states = jax.vmap(lambda k, i: env_core.reset(cfg, maps, k, i))(keys, idx)
+    blob = pack_blob(states, maps)
+
+    planes = render_frames_from_blob(cfg, maps, blob, plan, interpret=True)
+    img_b = np.asarray(planes_to_nhwc(cfg, planes)).astype(int)
+    img_x = np.asarray(
+        jax.vmap(lambda s: env_core.render_obs(cfg, maps, s))(states)
+    ).astype(int)
+    diff = np.abs(img_b - img_x)
+    assert diff.mean() < 2.0, diff.mean()
+    assert (diff > 10).mean() < 0.03
 
 
 def test_fused_step_uses_blob_renderer():
