@@ -46,8 +46,8 @@ def main():
     ap.add_argument("--domain-rand", action="store_true")
     ap.add_argument("--distortion", action="store_true",
                     help="fisheye distortion on the obs (reference "
-                         "Distortion.distort; fused: one bf16 "
-                         "permutation matmul at <=96px)")
+                         "Distortion.distort; baked into the render "
+                         "kernel's ray table — ~free at any resolution)")
     ap.add_argument("--no-autoreset", action="store_true")
     ap.add_argument("--no-objects", action="store_true")
     ap.add_argument("--cpu", action="store_true",
@@ -62,6 +62,9 @@ def main():
                     help="scan unroll factor (amortizes per-iteration "
                          "while-loop overhead)")
     args = ap.parse_args()
+    if args.distortion and args.obs != "rgb":
+        ap.error("--distortion applies to image observations only "
+                 "(got --obs state)")
 
     W_, H_ = args.width or args.size, args.height or args.size
     cfg = EnvConfig(

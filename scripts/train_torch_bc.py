@@ -87,6 +87,9 @@ def main():
     perm = rng.permutation(n)
     n_val = max(1, int(n * args.val_frac))
     vi, ti = perm[:n_val], perm[n_val:]
+    if len(ti) == 0:
+        sys.exit(f"dataset too small for --val-frac {args.val_frac}: "
+                 f"{n} samples leave an empty training split")
 
     model = build_model(obs.shape[1:], torch)
     opt = torch.optim.Adam(model.parameters(), lr=args.lr)

@@ -9,17 +9,26 @@ import subprocess
 import sys
 
 import numpy as np
+import pytest
+
+# torch is an optional interop dependency (not in pyproject.toml); skip
+# cleanly where absent instead of an opaque subprocess ModuleNotFoundError
+pytest.importorskip("torch")
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def _run(npz, *extra):
+def _run(npz, *extra, allow_no_improve=False):
     r = subprocess.run(
         [sys.executable, os.path.join(ROOT, "scripts", "train_torch_bc.py"),
          "--data", npz, "--epochs", "3", "--batch", "64", *extra],
         capture_output=True, text=True, timeout=300,
     )
-    assert r.returncode == 0, r.stdout + r.stderr
+    # rc 1 = ran fine but val MSE did not improve — acceptable for smoke
+    # tests on random targets (init RNG streams differ across torch
+    # releases); anything else is a real failure
+    ok = (0, 1) if allow_no_improve else (0,)
+    assert r.returncode in ok, r.stdout + r.stderr
     return json.loads(r.stdout.strip().splitlines()[-1])
 
 
@@ -43,5 +52,5 @@ def test_torch_bc_rgb_runs_and_saves(tmp_path):
     p = str(tmp_path / "d.npz")
     pt = str(tmp_path / "m.pt")
     np.savez(p, obs=obs, act=act)
-    out = _run(p, "--out", pt)
+    out = _run(p, "--out", pt, allow_no_improve=True)
     assert out["saved"] == pt and os.path.exists(pt)
