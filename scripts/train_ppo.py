@@ -42,7 +42,17 @@ def main():
     ap.add_argument("--size", type=int, default=64)
     ap.add_argument("--rollout", type=int, default=64)
     ap.add_argument("--domain-rand", action="store_true")
-    ap.add_argument("--ckpt", default=None)
+    ap.add_argument("--ckpt", default=None,
+                    help="checkpoint path (orbax dir); written at the "
+                         "end and, with --ckpt-every, periodically")
+    ap.add_argument("--ckpt-every", type=int, default=0,
+                    help="save the full train state to --ckpt every N "
+                         "iterations (atomic overwrite; a killed run "
+                         "resumes from the last snapshot via --resume)")
+    ap.add_argument("--resume", default=None,
+                    help="restore a --ckpt snapshot and continue from "
+                         "its recorded iteration (elastic restart; "
+                         "works across mesh sizes)")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--renderer", default="pallas", choices=["xla", "pallas"])
     ap.add_argument("--fused", action="store_true",
@@ -107,35 +117,82 @@ def main():
             cfg, maps, args.envs, ppo=ppo, mesh=mesh
         )
 
-    timer = PhaseTimer()
-    with timer.phase("init"):
-        ts = s_init(jax.random.PRNGKey(args.seed))
-        jax.block_until_ready(ts.params)
+    if args.ckpt_every and not args.ckpt:
+        ap.error("--ckpt-every requires --ckpt")
 
-    steps_per_iter = args.envs * ppo.rollout_len
-    for it in range(args.iters):
-        with timer.phase("train", steps=steps_per_iter):
-            ts, metrics = s_train(ts)
-            metrics = {k: float(v) for k, v in metrics.items()}
-        if it % args.log_every == 0 or it == args.iters - 1:
-            print(json.dumps({"iter": it, **{k: round(v, 4) for k, v in metrics.items()}}))
+    import jax.numpy as jnp
 
-    print(timer.report())
-    if args.ckpt:
-        from dtown.utils import checkpoint
-
+    def payload(ts, it):
         # full training state: params + optimizer + vectorized env state
-        # pytree + PRNG key (SURVEY.md §5 checkpoint/resume row)
+        # pytree + PRNG key + iteration (SURVEY.md §5 checkpoint/resume
+        # and failure-detection/elastic-recovery rows)
         state = {
             "params": ts.params,
             "opt_state": ts.opt_state,
             "env_states": ts.env_states,
             "key": ts.key,
+            "it": jnp.asarray(it, jnp.int32),
         }
         if hasattr(ts, "carry"):  # recurrent policy: persist LSTM state
             state["carry"] = ts.carry
-        checkpoint.save(args.ckpt, state)
-        print(f"saved full train state to {args.ckpt}")
+        return state
+
+    timer = PhaseTimer()
+    with timer.phase("init"):
+        ts = s_init(jax.random.PRNGKey(args.seed))
+        jax.block_until_ready(ts.params)
+
+    start_iter = 0
+    if args.resume:
+        from dtown.utils import checkpoint
+
+        # template from the fresh init: same pytree structure regardless
+        # of the saving run's mesh size (restore-onto-smaller-mesh is
+        # covered by tests/test_checkpoint_reshard.py)
+        template = jax.device_get(payload(ts, 0))
+        restored = checkpoint.restore(os.path.abspath(args.resume),
+                                      template)
+        start_iter = int(restored["it"])
+        fields = dict(
+            params=restored["params"], opt_state=restored["opt_state"],
+            env_states=restored["env_states"],
+            key=jnp.asarray(restored["key"]),
+        )
+        if "carry" in restored:
+            fields["carry"] = restored["carry"]
+        ts = type(ts)(**fields)
+        print(f"resumed from {args.resume} at iter {start_iter}")
+        if start_iter >= args.iters:
+            print(f"checkpoint already at iter {start_iter} >= --iters "
+                  f"{args.iters}; nothing to do")
+            return
+
+    def save_ckpt(ts, it):
+        from dtown.utils import checkpoint
+
+        # crash-safe overwrite: a kill at any instant leaves one intact
+        # snapshot (alternating slots + atomic pointer)
+        checkpoint.save_atomic(os.path.abspath(args.ckpt),
+                               payload(ts, it))
+        print(f"saved full train state to {args.ckpt} (iter {it})",
+              file=sys.stderr)
+
+    steps_per_iter = args.envs * ppo.rollout_len
+    for it in range(start_iter, args.iters):
+        with timer.phase("train", steps=steps_per_iter):
+            ts, metrics = s_train(ts)
+            metrics = {k: float(v) for k, v in metrics.items()}
+        if it % args.log_every == 0 or it == args.iters - 1:
+            print(json.dumps({"iter": it, **{k: round(v, 4) for k, v in metrics.items()}}))
+        if args.ckpt_every and (it + 1) % args.ckpt_every == 0:
+            # snapshot is the state ENTERING iter it+1; --resume
+            # continues there (orbax save is atomic: tmp dir + rename,
+            # so a kill mid-save keeps the previous snapshot)
+            save_ckpt(ts, it + 1)
+
+    print(timer.report())
+    if args.ckpt:
+        save_ckpt(ts, args.iters)
 
 
 if __name__ == "__main__":
