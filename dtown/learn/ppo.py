@@ -46,13 +46,18 @@ class TrainState(NamedTuple):
 
 
 def make_ppo(cfg, maps, num_envs: int, ppo: PPOConfig = PPOConfig(),
-             fused: bool = False):
+             fused: bool = False, nav: bool = False,
+             goal_in_obs: bool = False):
     """Build (init_fn, train_step_fn) closures over static config.
 
     fused=True: rollouts carry the transposed state blob and advance via
     the fused Pallas state kernel + render kernel (ops/fused_env) — the
     full training loop then runs at kernel speed. Restricted to the
     state-kernel fast path (domain_rand off, static NPC poses).
+
+    nav=True (fused only): the Nav task (in-kernel goal bonus/done/
+    redraw); goal_in_obs appends the agent-frame goal offset to state
+    observations — the learnable form of the task at kernel speed.
     """
     net = ActorCritic(trunk=ppo.trunk)
     tx = optax.chain(
@@ -60,7 +65,14 @@ def make_ppo(cfg, maps, num_envs: int, ppo: PPOConfig = PPOConfig(),
         optax.adam(ppo.lr),
     )
     if fused:
-        return _make_ppo_fused(cfg, maps, num_envs, ppo, net, tx)
+        return _make_ppo_fused(cfg, maps, num_envs, ppo, net, tx,
+                               nav=nav, goal_in_obs=goal_in_obs)
+    if nav:
+        raise NotImplementedError(
+            "nav PPO is wired through the fused path (make_ppo(..., "
+            "fused=True, nav=True)); for the XLA path drive "
+            "tasks.make_nav_vec with a custom loop"
+        )
 
     def obs_of(states):
         # the ONE batched-obs path (fused Pallas renderer when cfg
@@ -218,7 +230,8 @@ def make_ppo(cfg, maps, num_envs: int, ppo: PPOConfig = PPOConfig(),
     return init, train_step
 
 
-def _make_ppo_fused(cfg, maps, num_envs, ppo, net, tx):
+def _make_ppo_fused(cfg, maps, num_envs, ppo, net, tx, nav=False,
+                    goal_in_obs=False):
     """Fused-kernel PPO: TrainState.env_states is (state blob, last obs).
 
     The last observation is carried across train iterations so each
@@ -228,11 +241,18 @@ def _make_ppo_fused(cfg, maps, num_envs, ppo, net, tx):
     side-channel state.
     """
     from dtown.ops.fused_env import (
-        make_fused_rollout, obs_from_blob, template_states as make_template,
+        make_fused_nav_rollout, make_fused_rollout,
+        nav_goal_features_from_blob, obs_from_blob,
+        template_states as make_template,
     )
     from dtown.render.pallas_raster import planes_to_nhwc
 
-    init_blob, fused_step, _ = make_fused_rollout(cfg, maps, num_envs)
+    if nav:
+        init_blob, fused_step = make_fused_nav_rollout(
+            cfg, maps, num_envs, goal_in_obs=goal_in_obs
+        )
+    else:
+        init_blob, fused_step, _ = make_fused_rollout(cfg, maps, num_envs)
     if cfg.obs_type == "rgb" and maps.tile_kind.ndim == 3:
         from dtown.render.blob_raster import build_render_plan
 
@@ -255,6 +275,15 @@ def _make_ppo_fused(cfg, maps, num_envs, ppo, net, tx):
         tmpl = make_template(cfg, maps, num_envs)
         k_net, k_carry = jax.random.split(jax.random.fold_in(key, 7))
         obs0 = obs_from(blob, obs_from_blob(cfg, maps, blob, tmpl))
+        if nav and goal_in_obs:
+            # obs_from_blob is task-agnostic; append the goal features
+            # the nav fused_step emits so obs0 matches rollout obs
+            obs0 = jnp.concatenate(
+                [obs0,
+                 jnp.stack(nav_goal_features_from_blob(cfg, maps, blob),
+                           axis=-1)],
+                axis=-1,
+            )
         params = net.init(k_net, obs0[:2])
         return TrainState(params, tx.init(params), (blob, obs0), k_carry)
 
@@ -364,6 +393,11 @@ def _make_ppo_fused(cfg, maps, num_envs, ppo, net, tx):
             mean_reward=traj["reward"].mean(),
             done_frac=traj["done"].mean(),
         )
+        if nav:
+            # goal reaches vs crashes: a reached step carries the +500
+            # NAV_GOAL_REWARD (lane term is O(1), crash is -1000), so
+            # reward > 400 identifies it unambiguously
+            metrics["goal_frac"] = (traj["reward"] > 400.0).mean()
         return TrainState(params, opt_state, (blob, last_obs), key), metrics
 
     return init, train_step

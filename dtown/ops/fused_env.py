@@ -455,19 +455,44 @@ def make_fused_rollout(cfg: EnvConfig, maps, num_envs: int):
     return init_blob, fused_step, rollout
 
 
-def make_fused_nav_rollout(cfg: EnvConfig, maps, num_envs: int):
+def nav_goal_features_from_blob(cfg: EnvConfig, maps, blob):
+    """tasks.goal_features computed straight from the blob goal/pose
+    rows (no lane query): goal-tile center offset rotated into the agent
+    frame + distance. Returns three [B] columns (forward, right, dist).
+    """
+    navb = sk.nav_base(len(sk.moving_npcs(maps)), cfg.domain_rand)
+    ts = jnp.asarray(maps.tile_size, jnp.float32)
+    if ts.ndim == 1:  # stacked maps: per-env tile size
+        ts = ts[blob[sk.F_MAPID].astype(jnp.int32)]
+    dx = (blob[navb + sk.NAV_GI] + 0.5) * ts - blob[sk.F_POS_X]
+    dz = (blob[navb + sk.NAV_GJ] + 0.5) * ts - blob[sk.F_POS_Z]
+    c = jnp.cos(blob[sk.F_ANGLE])
+    s = jnp.sin(blob[sk.F_ANGLE])
+    return (dx * c - dz * s, dx * s + dz * c,
+            jnp.sqrt(dx * dx + dz * dz))
+
+
+def make_fused_nav_rollout(cfg: EnvConfig, maps, num_envs: int,
+                           goal_in_obs: bool = False):
     """Nav task (gym_compat.DuckietownNav / tasks.nav_step) on the fused
     kernel path: goal tiles live in blob rows, the goal bonus/done and
     the drivable-tile goal redraw run INSIDE the state kernel.
 
     Returns (init_blob, fused_step) — init_blob(key) -> (blob, states)
     with per-env goals drawn like tasks._draw_goal; fused_step as in
-    make_fused_rollout. The state observation is unchanged (the goal is
-    task state, not an observable — reference Nav obs carries no goal).
+    make_fused_rollout. By default the state observation is unchanged
+    (the goal is task state, not an observable — reference Nav obs
+    carries no goal, which leaves its task unlearnable from
+    observations); goal_in_obs appends the agent-frame goal offset
+    (tasks.goal_features semantics: forward, right, distance) computed
+    straight from the blob goal/pose rows — three scalar ops, no lane
+    query, so the learnable form keeps the full fused speedup.
     """
     from dtown import env as env_core
     from dtown.tasks import _draw_goal
 
+    if goal_in_obs and cfg.obs_type != "state":
+        raise ValueError("goal_in_obs requires obs_type='state'")
     if num_envs % 8 != 0:
         raise ValueError(
             f"the fused kernel path requires num_envs divisible by 8 (TPU "
@@ -506,18 +531,18 @@ def make_fused_nav_rollout(cfg: EnvConfig, maps, num_envs: int):
                                        render_plan)
         else:
             inlane = blob[sk.F_OINLANE]
-            obs = jnp.stack(
-                [
-                    blob[sk.F_POS_X], blob[sk.F_POS_Z],
-                    jnp.cos(blob[sk.F_ANGLE]), jnp.sin(blob[sk.F_ANGLE]),
-                    blob[sk.F_SPEED],
-                    blob[sk.F_OLDIST] * inlane,
-                    blob[sk.F_OLDOT] * inlane,
-                    jnp.deg2rad(blob[sk.F_OLDEG]) * inlane,
-                    inlane, blob[sk.F_WVL], blob[sk.F_WVR],
-                ],
-                axis=-1,
-            )
+            cols = [
+                blob[sk.F_POS_X], blob[sk.F_POS_Z],
+                jnp.cos(blob[sk.F_ANGLE]), jnp.sin(blob[sk.F_ANGLE]),
+                blob[sk.F_SPEED],
+                blob[sk.F_OLDIST] * inlane,
+                blob[sk.F_OLDOT] * inlane,
+                jnp.deg2rad(blob[sk.F_OLDEG]) * inlane,
+                inlane, blob[sk.F_WVL], blob[sk.F_WVR],
+            ]
+            if goal_in_obs:
+                cols += list(nav_goal_features_from_blob(cfg, maps, blob))
+            obs = jnp.stack(cols, axis=-1)
         return blob, out, obs
 
     return init_blob, fused_step

@@ -70,6 +70,12 @@ def main():
     ap.add_argument("--reward-scale", type=float, default=0.02)
     ap.add_argument("--trunk", default="nature",
                     choices=["nature", "impala"])
+    ap.add_argument("--nav", action="store_true",
+                    help="Nav task (goal tiles, in-kernel bonus/done/"
+                         "redraw) instead of lane following; fused only")
+    ap.add_argument("--goal-in-obs", action="store_true",
+                    help="append the agent-frame goal offset to state "
+                         "observations (the learnable Nav form)")
     ap.add_argument("--rnn", action="store_true",
                     help="recurrent (LSTM) policy via learn/ppo_rnn; "
                          "single-host, standard rollout path")
@@ -106,13 +112,14 @@ def main():
             rnn_hidden=args.rnn_hidden,
         )
     elif args.fused:
-        import functools
-
         from dtown.learn.ppo import make_ppo
 
-        s_init, train_local = make_ppo(cfg, maps, args.envs, ppo, fused=True)
+        s_init, train_local = make_ppo(cfg, maps, args.envs, ppo,
+                                       fused=True, nav=args.nav,
+                                       goal_in_obs=args.goal_in_obs)
         s_train = jax.jit(lambda ts: train_local(ts))
     else:
+        assert not args.nav, "--nav requires --fused"
         mesh, s_init, s_train = make_sharded_ppo(
             cfg, maps, args.envs, ppo=ppo, mesh=mesh
         )

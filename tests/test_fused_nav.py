@@ -102,6 +102,61 @@ def test_fused_nav_multimap_goal_segments():
     assert driv[mi, g2j, g2i].all()
 
 
+def test_fused_nav_goal_in_obs_matches_xla():
+    """goal_in_obs appends tasks.goal_features, computed from the blob:
+    must match the XLA goal_features on the unpacked states exactly."""
+    from dtown.tasks import NavState, goal_features
+
+    cfg, maps = _mk()
+    init_nav, step_nav = fused_env.make_fused_nav_rollout(
+        cfg, maps, 16, goal_in_obs=True
+    )
+    blob, states = init_nav(jax.random.PRNGKey(4))
+    tmpl = fused_env.template_states(cfg, maps, 16)
+    act = jnp.tile(jnp.array([[0.4, 0.1]], jnp.float32), (16, 1))
+    blob2, out, obs = step_nav(blob, tmpl, act)
+    assert obs.shape == (16, 14)  # 11 state features + (fwd, right, dist)
+
+    st = fused_env.update_states_from_blob(tmpl, blob2, maps, False)
+    nvb = sk.nav_base(len(sk.moving_npcs(maps)), False)
+    goals = jnp.stack(
+        [blob2[nvb + sk.NAV_GI], blob2[nvb + sk.NAV_GJ]], axis=-1
+    ).astype(jnp.int32)
+    ns = NavState(env=st, goal=goals, rng=jax.random.split(
+        jax.random.PRNGKey(0), 16))
+    feats = jax.vmap(lambda n: goal_features(maps, n))(ns)
+    np.testing.assert_allclose(np.asarray(obs[:, 11:]),
+                               np.asarray(feats), rtol=1e-5, atol=1e-5)
+    # nonzero / finite: the features are live, not padding
+    assert np.abs(np.asarray(feats)).max() > 0.1
+
+
+def test_fused_nav_goal_in_obs_requires_state():
+    cfg = EnvConfig(obs_type="rgb", camera_width=64, camera_height=64)
+    maps = map_loader.load_map("small_loop")
+    import pytest
+
+    with pytest.raises(ValueError):
+        fused_env.make_fused_nav_rollout(cfg, maps, 8, goal_in_obs=True)
+
+
+def test_fused_nav_ppo_goal_conditioned_trains():
+    """make_ppo(fused=True, nav=True, goal_in_obs=True): the learnable
+    Nav form at kernel speed — obs0 matches rollout obs (14-dim) and a
+    train step produces finite metrics."""
+    from dtown.learn.ppo import PPOConfig, make_ppo
+
+    cfg, maps = _mk()
+    init, train = make_ppo(cfg, maps, 16,
+                           PPOConfig(rollout_len=4, epochs=1,
+                                     minibatches=2),
+                           fused=True, nav=True, goal_in_obs=True)
+    ts = init(jax.random.PRNGKey(0))
+    assert ts.env_states[1].shape == (16, 14)
+    ts, metrics = jax.jit(lambda t: train(t))(ts)
+    assert all(np.isfinite(float(v)) for v in metrics.values())
+
+
 def test_fused_nav_rollout_scan_runs():
     cfg, maps = _mk()
     init_nav, step_nav = fused_env.make_fused_nav_rollout(cfg, maps, 8)
