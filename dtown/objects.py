@@ -90,35 +90,146 @@ def _duckie_step(maps, dyn: DynObjState, dt):
     return new_pos, angle, walk
 
 
+def _pursuit_lane_query(maps, ts_inv, qx, qz, qdx, qdz):
+    """closest_curve_point for the scripted duckiebot, op-for-op
+    identical to the fused state kernel's lane_query
+    (ops/state_kernel.py) so fused-vs-XLA NPC poses match bit-for-bit:
+    2D math, rsqrt/clamp forms, -1e30 sentinel, strict-f32 chord
+    normalization matching build_tables' stored constants. The generic
+    geometry.closest_curve_point (3D norms, argmax, f64-free but
+    differently-ordered ops) stays the agent-path form; the bot chains
+    TWO queries per substep, which amplified its ulp differences into
+    borderline SAT flips (round-2 tolerated ~1%; now exact).
+
+    Returns (point_x, point_z, tan_x, tan_z, best_dot, drivable).
+    """
+    H, W = maps.grid_shape
+    fi = jnp.floor(qx * ts_inv)
+    fj = jnp.floor(qz * ts_inv)
+    ing = (fi >= 0) & (fi < W) & (fj >= 0) & (fj < H)
+    ii = jnp.clip(fi.astype(jnp.int32), 0, W - 1)
+    jj = jnp.clip(fj.astype(jnp.int32), 0, H - 1)
+    q_driv = ing & maps.drivable[jj, ii]
+
+    curves = maps.curves[jj, ii]     # [Cmax, 4, 3]
+    cmask = maps.curve_mask[jj, ii]  # [Cmax]
+
+    best_dot = jnp.float32(-1e30)
+    cps = [jnp.float32(0.0)] * 8
+    for c in range(curves.shape[0]):
+        # chord, normalized with the exact op sequence build_tables
+        # bakes (mul, mul, add, sqrt, max, div — all f32)
+        chx = curves[c, 3, 0] - curves[c, 0, 0]
+        chz = curves[c, 3, 2] - curves[c, 0, 2]
+        n2 = chx * chx + chz * chz
+        n = jnp.maximum(jnp.sqrt(n2), jnp.float32(1e-12))
+        dot = (chx / n) * qdx + (chz / n) * qdz
+        dot = jnp.where(cmask[c], dot, jnp.float32(-1e30))
+        better = dot > best_dot
+        best_dot = jnp.where(better, dot, best_dot)
+        vals = (curves[c, 0, 0], curves[c, 0, 2], curves[c, 1, 0],
+                curves[c, 1, 2], curves[c, 2, 0], curves[c, 2, 2],
+                curves[c, 3, 0], curves[c, 3, 2])
+        cps = [jnp.where(better, v, k) for v, k in zip(vals, cps)]
+    x0, z0, x1, z1, x2, z2, x3, z3 = cps
+
+    def bz_point(t):
+        u = 1.0 - t
+        w0 = u * u * u
+        w1 = 3.0 * t * u * u
+        w2 = 3.0 * t * t * u
+        w3 = t * t * t
+        return (w0 * x0 + w1 * x1 + w2 * x2 + w3 * x3,
+                w0 * z0 + w1 * z1 + w2 * z2 + w3 * z3)
+
+    t_bot = jnp.float32(0.0)
+    t_top = jnp.float32(1.0)
+    for _ in range(C.BEZIER_CLOSEST_ITERS):
+        mid = 0.5 * (t_bot + t_top)
+        bx, bz_ = bz_point(t_bot)
+        tx, tz = bz_point(t_top)
+        db = (bx - qx) ** 2 + (bz_ - qz) ** 2
+        dtp = (tx - qx) ** 2 + (tz - qz) ** 2
+        keep_bot = db < dtp
+        t_bot, t_top = (
+            jnp.where(keep_bot, t_bot, mid),
+            jnp.where(keep_bot, mid, t_top),
+        )
+    t_star = 0.5 * (t_bot + t_top)
+    px_c, pz_c = bz_point(t_star)
+    u = 1.0 - t_star
+    tanx = (3 * u * u * (x1 - x0) + 6 * u * t_star * (x2 - x1)
+            + 3 * t_star * t_star * (x3 - x2))
+    tanz = (3 * u * u * (z1 - z0) + 6 * u * t_star * (z2 - z1)
+            + 3 * t_star * t_star * (z3 - z2))
+    tinv = jax.lax.rsqrt(jnp.maximum(tanx * tanx + tanz * tanz, 1e-24))
+    return px_c, pz_c, tanx * tinv, tanz * tinv, best_dot, q_driv
+
+
 def _duckiebot_step(maps, dyn: DynObjState, dt):
     """Scripted lane follower: pure pursuit on the lane bezier.
 
     reference: objects.py::DuckiebotObj.step — project a follow point
     ``follow_dist`` ahead along the curve tangent, steer toward it with
-    differential-drive kinematics.
+    differential-drive kinematics. Arithmetic mirrors the fused kernel's
+    bot branch exactly (see _pursuit_lane_query) — the equivalence test
+    asserts bit-identical done/reward between the two paths.
     """
-    point, tangent, valid = jax.vmap(
-        lambda p, a: closest_curve_point(maps, p, a)
-    )(dyn.pos, dyn.angle)
-    follow = point + DUCKIEBOT_FOLLOW_DIST * tangent
-    curve_point, _, valid2 = jax.vmap(
-        lambda p, a: closest_curve_point(maps, p, a)
-    )(follow, dyn.angle)
+    from dtown.geometry import sincos
+    from dtown.utils.staticcheck import concrete_any  # noqa: F401
 
-    point_vec = curve_point - dyn.pos
-    point_vec = point_vec / jnp.maximum(
-        jnp.linalg.norm(point_vec, axis=-1, keepdims=True), 1e-9
-    )
-    dot = jnp.sum(get_right_vec(dyn.angle) * point_vec, axis=-1)
-    steering = DUCKIEBOT_GAIN * (-dot)
-    steering = jnp.where(valid & valid2, steering, 0.0)
-    wheel_vels = jnp.stack(
-        [dyn.vel - steering, dyn.vel + steering], axis=-1
-    )
-    new_pos, new_angle = update_pos(
-        dyn.pos, dyn.angle, C.WHEEL_DIST, wheel_vels, dt
-    )
-    return new_pos, new_angle
+    try:
+        # the f32 reciprocal the kernel table stores (f64 divide, f32
+        # round) — reproducible here only when tile_size is concrete
+        import numpy as _np
+
+        ts_inv = jnp.float32(_np.float32(1.0 / float(maps.tile_size)))
+    except Exception:  # traced multimap gather: f32 reciprocal
+        ts_inv = (1.0 / maps.tile_size).astype(jnp.float32)
+
+    def one(pos, angle, vel):
+        nx, nz, na, nv = pos[0], pos[2], angle, vel
+        s_n, c_n = sincos(na)
+        bdx, bdz = c_n, -s_n
+        cpx, cpz, ctx, ctz, bd1, drv1 = _pursuit_lane_query(
+            maps, ts_inv, nx, nz, bdx, bdz
+        )
+        fpx = cpx + DUCKIEBOT_FOLLOW_DIST * ctx
+        fpz = cpz + DUCKIEBOT_FOLLOW_DIST * ctz
+        gpx, gpz, _, _, bd2, drv2 = _pursuit_lane_query(
+            maps, ts_inv, fpx, fpz, bdx, bdz
+        )
+        pvx = gpx - nx
+        pvz = gpz - nz
+        pinv = jax.lax.rsqrt(jnp.maximum(pvx * pvx + pvz * pvz, 1e-18))
+        # right_vec = (sin a, cos a) in the x-z plane
+        dotr = (s_n * pvx + c_n * pvz) * pinv
+        steering = DUCKIEBOT_GAIN * (-dotr)
+        ok = drv1 & (bd1 > 0.0) & drv2 & (bd2 > 0.0)
+        steering = jnp.where(ok, steering, 0.0)
+        bvl = nv - steering
+        bvr = nv + steering
+        # differential drive about WHEEL_DIST, kernel op order
+        straight_b = bvl == bvr
+        npx_s = nx + dt * bvl * bdx
+        npz_s = nz + dt * bvl * bdz
+        denom_b = jnp.where(straight_b, 1.0, bvl - bvr)
+        w_b = (bvr - bvl) / C.WHEEL_DIST
+        r_b = C.WHEEL_DIST * (bvl + bvr) / (2.0 * denom_b)
+        rot_b = w_b * dt
+        cx_b = nx + r_b * s_n
+        cz_b = nz + r_b * c_n
+        s_rb, c_rb = sincos(rot_b)
+        dx_b = nx - cx_b
+        dz_b = nz - cz_b
+        npx_a = cx_b + dx_b * c_rb + dz_b * s_rb
+        npz_a = cz_b + dz_b * c_rb - dx_b * s_rb
+        new_x = jnp.where(straight_b, npx_s, npx_a)
+        new_z = jnp.where(straight_b, npz_s, npz_a)
+        new_angle = na + jnp.where(straight_b, 0.0, rot_b)
+        return jnp.stack([new_x, pos[1], new_z]), new_angle
+
+    return jax.vmap(one)(dyn.pos, dyn.angle, dyn.vel)
 
 
 def step_dynamic_objects(maps, dyn: DynObjState, dt) -> DynObjState:
@@ -174,18 +285,11 @@ def dynamic_corners(maps, dyn: DynObjState):
         ],
         axis=-2,
     )  # [M, 4, 2]
-    e0 = corners[:, 1] - corners[:, 0]
-    e1 = corners[:, 2] - corners[:, 1]
-    norms = jnp.stack(
-        [
-            jnp.stack([-e0[:, 1], e0[:, 0]], axis=-1),
-            jnp.stack([-e1[:, 1], e1[:, 0]], axis=-1),
-        ],
-        axis=-2,
-    )
-    norms = norms / jnp.maximum(
-        jnp.linalg.norm(norms, axis=-1, keepdims=True), 1e-12
-    )
+    # SAT axes = the pose's unit right/facing vectors DIRECTLY (the
+    # normalized edge perps of a rectangle built from (f, r) equal these
+    # in exact arithmetic; reconstructing them rounds differently than
+    # the fused kernel's direct axes and flipped borderline decisions)
+    norms = jnp.stack([rxz, fxz], axis=-2)
     sel = maps.obj_is_dynamic[:, None, None]
     return (
         jnp.where(sel, corners, maps.obj_corners),

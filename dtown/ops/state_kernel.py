@@ -972,8 +972,14 @@ def _build_tables_single(cfg, maps):
                 ct[CT_CPS + c * 12 + 2 * k, t] = cps[k, 0]
                 ct[CT_CPS + c * 12 + 2 * k + 1, t] = cps[k, 2]
             if cmask[t, c]:
-                ch = cps[3] - cps[0]
-                n = max(float(np.hypot(ch[0], ch[2])), 1e-12)
+                # strict f32 op sequence (mul, mul, add, sqrt, max, div):
+                # objects._pursuit_lane_query recomputes the identical
+                # sequence at runtime so the XLA duckiebot NPC sees
+                # bit-identical chord values (f64 hypot here would leave
+                # double-rounded constants the XLA side cannot reproduce)
+                ch = (cps[3] - cps[0]).astype(np.float32)
+                n2 = ch[0] * ch[0] + ch[2] * ch[2]
+                n = np.maximum(np.sqrt(n2), np.float32(1e-12))
                 ct[CT_CHX + c, t] = ch[0] / n
                 ct[CT_CHZ + c, t] = ch[2] / n
                 ct[CT_VALID + c, t] = 1.0

@@ -124,14 +124,24 @@ def sat_intersects(corners_a, norms_a, corners_b, norms_b):
     return ~jnp.any(separated, axis=-1)
 
 
-def collision(agent_corners, obj_corners, obj_norms, obj_active):
+def collision(agent_corners, obj_corners, obj_norms, obj_active,
+              agent_norms=None):
     """True if the agent footprint hits any active collidable object.
 
     reference: simulator.py::_collision — SAT vs stacked static norms plus
     per-dynamic-object check; here both are one masked stacked test.
+
+    agent_norms: pass the agent's unit facing/right vectors directly to
+    skip the corner-edge reconstruction — for a rectangle built FROM
+    (f, r) the normalized edge perps equal (r, -f) exactly in real
+    arithmetic, but reconstructing them (subtract, perp, normalize)
+    rounds differently than the fused kernel's direct (f, r) axes,
+    flipping borderline SAT decisions between the two paths.
     """
+    if agent_norms is None:
+        agent_norms = generate_norm(agent_corners)
     hits = sat_intersects(
-        agent_corners, generate_norm(agent_corners), obj_corners, obj_norms
+        agent_corners, agent_norms, obj_corners, obj_norms
     )
     return jnp.any(hits & obj_active)
 
@@ -167,7 +177,14 @@ def valid_pose(maps, pos, angle, obj_corners, obj_norms, obj_active,
         & drivable_at(maps, f_pos)
     )
     agent_corners = get_agent_corners(pos, angle)
-    collided = collision(agent_corners, obj_corners, obj_norms, obj_active)
+    # direct (f, r) SAT axes, matching the fused kernel bit-for-bit
+    agent_norms = jnp.stack(
+        [jnp.stack([f_vec[..., 0], f_vec[..., 2]], axis=-1),
+         jnp.stack([r_vec[..., 0], r_vec[..., 2]], axis=-1)],
+        axis=-2,
+    )
+    collided = collision(agent_corners, obj_corners, obj_norms,
+                         obj_active, agent_norms=agent_norms)
     return all_drivable & ~collided, collided
 
 

@@ -28,26 +28,22 @@ def test_fused_step_matches_xla(map_name):
     alive = np.ones(B, bool)
     f_step = jax.jit(lambda b, a: fused_step(b, states, a))
     x_step = jax.jit(lambda s, a: env_core.step_batch(cfg, maps, s, a))
-    has_bots = any(
-        n["kind"] == "duckiebot" for n in sk.moving_npcs(maps)
-    )
     for _ in range(4):
         b, out_f, obs_f = f_step(b, actions)
         xs, out_x = x_step(xs, actions)
         done_f = np.asarray(out_f.done)
         done_x = np.asarray(out_x.done)
-        if has_bots:
-            # scripted duckiebots run TWO chained lane queries per substep
-            # (closest point + follow point), amplifying f32 ulp
-            # differences between the kernel's polynomial trig and XLA
-            # into occasional borderline SAT flips; allow <=1% divergent
-            # done decisions and drop those envs from later comparisons.
-            assert (done_f != done_x)[alive].mean() <= 0.01
-            alive &= ~(done_f | done_x)
-        else:
-            # identical done decisions everywhere
-            np.testing.assert_array_equal(done_f, done_x)
-            alive &= ~done_x
+        # identical done decisions on every env that has not auto-reset
+        # yet — including scripted duckiebots: their XLA pursuit
+        # (objects._pursuit_lane_query) and SAT axes mirror the kernel's
+        # arithmetic op-for-op, so the two chained lane queries per
+        # substep no longer drift (round 2 tolerated <=1% borderline SAT
+        # flips here). Envs past their first reset are excluded: the two
+        # paths draw fresh spawns from different PRNG streams by design
+        # (kernel hash bank vs jax.random), so their later trajectories
+        # legitimately differ.
+        np.testing.assert_array_equal(done_f[alive], done_x[alive])
+        alive &= ~done_x
         del done_f, done_x
     pos_f = np.stack(
         [np.asarray(b[sk.F_POS_X]), np.asarray(b[sk.F_POS_Z])], -1
