@@ -148,12 +148,15 @@ def build_render_plan(cfg, maps):
             n_npc=npc_off,
             multi=dict(n_maps=n_maps, npw=npw),
             # per-map cluster predication: unlike the geometric culls
-            # that LOSE on single maps (see STATUS), the stack's map
-            # gate is exact — an env skips (n_maps-1)/n_maps of the
+            # that LOSE on small single maps (see STATUS), the stack's
+            # map gate is exact — an env skips (n_maps-1)/n_maps of the
             # object pass. max_per = largest per-map object count so
             # _build_clusters (which splits per map id first) keeps one
-            # cluster per map.
-            cluster=max(1, max(len(p["objs"]) for p in per)),
+            # cluster per map — unless a member map is itself spatially
+            # clustered (>24 objects), then keep its finer granularity.
+            cluster=(min(p["cluster"] for p in per if p["cluster"])
+                     if any(p["cluster"] for p in per)
+                     else max(1, max(len(p["objs"]) for p in per))),
         )
         return plan
     try:
@@ -163,8 +166,17 @@ def build_render_plan(cfg, maps):
     kinds = np.asarray(maps.obj_kind)
     if not cfg.render_objects:
         obj_mask = np.zeros_like(obj_mask)
-    if int(obj_mask.sum()) > 24:
-        return None  # straight-line cost too high; dynamic top-K path
+    n_objects = int(obj_mask.sum())
+    if n_objects > 48:
+        return None  # beyond even the clustered budget; top-K path
+    # 25..48 objects: eligible WITH spatial cluster predication (set
+    # below). On small maps clusters measured a 5-7% LOSS (everything is
+    # within the 4 m cull, so cond boundaries cost more than the skips
+    # save — see STATUS), but large towns like bigtown (10.5 m across)
+    # put most clusters out of cull range for most envs, and predication
+    # beats both straight-line 32-object code and falling off the fused
+    # path entirely.
+    clustered = n_objects > 24
     # moving NPCs are supported: geometry baked per slot, pose read from
     # the blob NPC rows in-kernel
     npcs = sk.moving_npcs(maps)
@@ -270,6 +282,8 @@ def build_render_plan(cfg, maps):
         dt=float(cfg.delta_time),
         tl_period=float(TRAFFICLIGHT_PERIOD),
         objs=objs,
+        # spatial cluster predication for large scenes (see above)
+        cluster=4 if clustered else 0,
     )
 
 

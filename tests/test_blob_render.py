@@ -22,7 +22,8 @@ from dtown.types import EnvConfig
 
 @pytest.mark.parametrize(
     "map_name",
-    ["loop_obstacles", "small_loop", "4way", "loop_pedestrians"],
+    ["loop_obstacles", "small_loop", "4way", "loop_pedestrians",
+     "bigtown"],
 )
 def test_blob_render_matches_xla(map_name):
     cfg = EnvConfig(obs_type="rgb", camera_width=64, camera_height=64,
@@ -47,7 +48,8 @@ def test_blob_render_matches_xla(map_name):
     assert (diff > 10).mean() < 0.03
 
 
-@pytest.mark.parametrize("map_name", ["udem1", "loop_pedestrians"])
+@pytest.mark.parametrize("map_name", ["udem1", "loop_pedestrians",
+                                      "bigtown"])
 def test_cluster_predication_matches_straightline(map_name, monkeypatch):
     """DTOWN_RENDER_CLUSTER must not change the rendering: the cluster
     visibility test (cull range + view half-plane) is conservative, so
@@ -118,6 +120,11 @@ def test_blob_render_ineligible_cases():
     assert build_render_plan(EnvConfig(obs_type="rgb"), stacked3) is not None
     stacked4 = map_loader.stack_maps(["udem1"] * 4)
     assert build_render_plan(EnvConfig(obs_type="rgb"), stacked4) is None
+    # 25..48 objects on a single map: eligible with spatial cluster
+    # predication (bigtown, 32 objects)
+    plan = build_render_plan(EnvConfig(obs_type="rgb"),
+                             map_loader.load_map("bigtown"))
+    assert plan is not None and plan["cluster"] == 4
 
 
 def test_fused_distortion_blob_path():
