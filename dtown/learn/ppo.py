@@ -22,7 +22,13 @@ from dtown.learn.networks import ActorCritic
 
 class PPOConfig(NamedTuple):
     rollout_len: int = 128
-    lr: float = 3e-4
+    # 1e-3 over the folk-default 3e-4, from three measurements (r2/r3):
+    # state-obs sweep tail reward -1.24 (3e-4) vs -0.83 (1e-3) vs +0.46
+    # (5e-3); RGB 40-iter on-chip A/B +0.42 vs +0.10 at iter 39; RGB
+    # 150-iter on-chip confirmation run stable at 1e-3 (plateau +0.7-0.9,
+    # docs/train_rgb_small_loop_lr1e3_resumed.log) — faster early,
+    # comparable tail, no conv-trunk instability.
+    lr: float = 1e-3
     gamma: float = 0.99
     gae_lambda: float = 0.95
     clip_eps: float = 0.2

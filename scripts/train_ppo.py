@@ -60,7 +60,7 @@ def main():
                          "fused Pallas kernels")
     ap.add_argument("--obs", default="rgb", choices=["rgb", "state"])
     ap.add_argument("--log-every", type=int, default=5)
-    ap.add_argument("--lr", type=float, default=3e-4)
+    ap.add_argument("--lr", type=float, default=1e-3)
     ap.add_argument("--ent-coef", type=float, default=0.01)
     ap.add_argument("--gamma", type=float, default=0.99)
     ap.add_argument("--gae-lambda", type=float, default=0.95)
