@@ -46,6 +46,11 @@ from dtown.ops import state_kernel as sk
 from dtown.render import meshes as meshlib
 from dtown.render.pallas_raster import LANE_N, _shade_pixels
 
+# Triangle budget per OBJ-registered object on the fused path (the XLA
+# renderer's fidelity pass uses the full 64-triangle buffer; in-kernel
+# each triangle costs ~2x a box prim, so custom objects ship decimated)
+KERNEL_TRI_BUDGET = 8
+
 # Envs per kernel program. The blob reaches the kernel TRANSPOSED as
 # [B, NF] rows (the TPU block rule requires the trailing block dim to
 # equal the array dim or divide 128, so [NF, epb] columns of the native
@@ -212,6 +217,7 @@ def build_render_plan(cfg, maps):
     pos = np.asarray(maps.obj_pos, np.float64)
     rot = np.asarray(maps.obj_y_rot, np.float64)
     scale = np.asarray(maps.obj_scale, np.float64)
+    fid_tris = cfg.mesh_fidelity == "triangles"
     objs = []
     for m in np.nonzero(obj_mask)[0]:
         k = int(kinds[m])
@@ -223,6 +229,42 @@ def build_render_plan(cfg, maps):
         lmy = light[1]
         lmz = light[2] * c_r - light[0] * s_r
         sc = float(scale[m])
+        kind_name = T.OBJ_KINDS[k]
+        if fid_tris and kind_name in meshlib.TRI_MESHES:
+            # triangle-fidelity object in-kernel (SURVEY §7 hard-part
+            # 1b): decimated Moeller-Trumbore at a fixed budget —
+            # to_triangles() is area-sorted, so the first
+            # KERNEL_TRI_BUDGET entries are the largest faces
+            tris_np, cols_np = meshlib.TRI_MESHES[kind_name]
+            prims = []
+            for ti in range(min(KERNEL_TRI_BUDGET, len(tris_np))):
+                v0, v1, v2 = (np.asarray(v, np.float64)
+                              for v in tris_np[ti])
+                e1v, e2v = v1 - v0, v2 - v0
+                nrm = np.cross(e1v, e2v)
+                nn = float(np.linalg.norm(nrm))
+                if nn < 1e-12:
+                    continue  # degenerate padding triangle
+                nrm = nrm / nn
+                prims.append(dict(
+                    is_box=False, is_tri=True,
+                    v0=tuple(float(x) for x in v0),
+                    e1=tuple(float(x) for x in e1v),
+                    e2=tuple(float(x) for x in e2v),
+                    n=tuple(float(x) for x in nrm),
+                    color=tuple(float(x) for x in cols_np[ti]),
+                    lamp=False,
+                    center=tuple(float(x) for x in (v0 + v1 + v2) / 3),
+                    param=(0.0, 0.0, 0.0),
+                ))
+            objs.append(dict(
+                pos=tuple(float(x) for x in pos[m]),
+                s_r=s_r, c_r=c_r, inv_s=1.0 / max(sc, 1e-6), scale=sc,
+                l_model=(float(lmx), float(lmy), float(lmz)),
+                prims=prims, npc_idx=None, wiggle=False,
+                slot=int(m), map=None,
+            ))
+            continue
         prims = []
         for p in range(meshlib.P_MAX):
             if not tables["mask"][k, p]:
@@ -292,6 +334,12 @@ def _bound_radius(ob):
     around its position (model extents scaled by the object scale)."""
     r = 0.0
     for pr in ob["prims"]:
+        if pr.get("is_tri"):
+            v0 = pr["v0"]
+            for e in ((0.0,) * 3, pr["e1"], pr["e2"]):
+                v = tuple(v0[i] + e[i] for i in range(3))
+                r = max(r, math.sqrt(sum(x * x for x in v)))
+            continue
         c, p = pr["center"], pr["param"]
         pr_r = (math.sqrt(p[0] * p[0] + p[1] * p[1] + p[2] * p[2])
                 if pr["is_box"] else p[0])
@@ -574,7 +622,8 @@ def _make_blob_kernel(H, W, plan, epb, grayscale=False, s_blk=None,
                 # measured 17% SLOWER on this target: the casts at every
                 # scalar->vector boundary outweigh the 1.4x VPU packing,
                 # and this chip has no bf16 EUP or scalar ALU.
-                if any(not pr_["is_box"] for ob_ in plan["objs"]
+                if any(not pr_["is_box"] and not pr_.get("is_tri")
+                       for ob_ in plan["objs"]
                        for pr_ in ob_["prims"]):
                     # ray.light_world, shared by EVERY sphere prim of
                     # every object: spheres intersect in WORLD space
@@ -653,9 +702,11 @@ def _make_blob_kernel(H, W, plan, epb, grayscale=False, s_blk=None,
                     else:
                         pk_, sh_, t_best = carry
                     has_box = any(pr_["is_box"] for pr_ in ob["prims"])
-                    if has_box:
-                        # boxes are rotation-sensitive: intersect in
-                        # MODEL space (rotate eye + ray per object)
+                    has_tri = any(pr_.get("is_tri")
+                                  for pr_ in ob["prims"])
+                    if has_box or has_tri:
+                        # boxes/triangles are rotation-sensitive:
+                        # intersect in MODEL space (rotate eye + ray)
                         ex = (eye0 - ox) * inv_s
                         ey = (eye1 - oy) * inv_s
                         ez = (eye2 - oz) * inv_s
@@ -663,6 +714,7 @@ def _make_blob_kernel(H, W, plan, epb, grayscale=False, s_blk=None,
                         emz = ez * c_r - ex * s_r
                         dmx = dx * c_r + dz * s_r
                         dmz = dz * c_r - dx * s_r
+                    if has_box:
 
                         def safe_inv(dm):
                             return 1.0 / jnp.where(
@@ -702,7 +754,40 @@ def _make_blob_kernel(H, W, plan, epb, grayscale=False, s_blk=None,
                     for pr_ in ob["prims"]:
                         cx, cy, cz = pr_["center"]
                         p0, p1, p2 = pr_["param"]
-                        if pr_["is_box"]:
+                        if pr_.get("is_tri"):
+                            # decimated-mesh triangle, model space:
+                            # Moeller-Trumbore with baked v0/e1/e2
+                            # (raster._intersect_triangles semantics;
+                            # o_model is per-env SCALAR, so tvec/qvec
+                            # are scalar chains — only pvec and the
+                            # final dots are vector work)
+                            v0x, v0y, v0z = pr_["v0"]
+                            e1x, e1y, e1z = pr_["e1"]
+                            e2x, e2y, e2z = pr_["e2"]
+                            pvx = dy * e2z - dmz * e2y
+                            pvy = dmz * e2x - dmx * e2z
+                            pvz = dmx * e2y - dy * e2x
+                            det = e1x * pvx + e1y * pvy + e1z * pvz
+                            ok_det = jnp.abs(det) > 1e-12
+                            inv_det = jnp.where(ok_det, 1.0, 0.0) \
+                                / jnp.where(ok_det, det, 1.0)
+                            tvx = emx - v0x
+                            tvy = ey - v0y
+                            tvz = emz - v0z
+                            u_b = (tvx * pvx + tvy * pvy + tvz * pvz) \
+                                * inv_det
+                            qvx = tvy * e1z - tvz * e1y
+                            qvy = tvz * e1x - tvx * e1z
+                            qvz = tvx * e1y - tvy * e1x
+                            v_b = (dmx * qvx + dy * qvy + dmz * qvz) \
+                                * inv_det
+                            t_m = (e2x * qvx + e2y * qvy + e2z * qvz) \
+                                * inv_det
+                            hit = ((u_b >= 0.0) & (v_b >= 0.0)
+                                   & (u_b + v_b <= 1.0) & (t_m > 1e-4))
+                            t_w = t_m * sc_g
+                            closer = hit & (t_w < t_best)
+                        elif pr_["is_box"]:
                             ocx = emx - cx
                             ocy = ey - cy
                             ocz = emz - cz
@@ -753,7 +838,17 @@ def _make_blob_kernel(H, W, plan, epb, grayscale=False, s_blk=None,
                             t_w = t_m * g_sph
                             closer = (t_m > 1e-4) & (t_w < t_best)
 
-                        if pr_["is_box"]:
+                        if pr_.get("is_tri"):
+                            # flat two-sided shading: the face normal is
+                            # a model-space constant, so n.l_model is a
+                            # scalar; only the flip side (n.d) is vector
+                            nx_t, ny_t, nz_t = pr_["n"]
+                            ndl = nx_t * lmx + ny_t * lmy + nz_t * lmz
+                            nd = nx_t * dmx + ny_t * dy + nz_t * dmz
+                            diff = jnp.maximum(
+                                0.0, jnp.where(nd > 0.0, ndl, -ndl)
+                            )
+                        elif pr_["is_box"]:
                             # diffuse from the axis-aligned model normal,
                             # WITHOUT reconstructing the hit point: for a
                             # camera outside the box the hit face is the

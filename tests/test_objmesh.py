@@ -111,3 +111,57 @@ def test_triangle_fidelity_render(tmp_path):
     red = (img_t[:, :, 0] > 90) & (img_t[:, :, 0] > 1.5 * img_t[:, :, 1]) \
         & (img_t[:, :, 0] > 1.5 * img_t[:, :, 2])
     assert red.sum() > 3, red.sum()
+
+
+def test_triangle_fidelity_fused_matches_xla(tmp_path):
+    """Triangle-fidelity objects render on the FUSED path too (decimated
+    Moeller-Trumbore baked into the blob kernel, KERNEL_TRI_BUDGET): the
+    sample mesh has 5 triangles <= the 8-tri budget, so the fused and
+    XLA triangle passes see identical geometry and must agree to the
+    usual kernel tolerance."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from dtown import env as env_core, map_loader
+    from dtown.ops.fused_env import pack_blob
+    from dtown.render.blob_raster import (
+        build_render_plan, render_frames_from_blob,
+    )
+    from dtown.render.objmesh import register_custom_object
+    from dtown.render.pallas_raster import planes_to_nhwc
+    from dtown.types import EnvConfig
+
+    register_custom_object("duckhouse", _write_sample(tmp_path))
+    data = {
+        "tiles": [["straight/W", "straight/W", "straight/W"]],
+        "objects": [
+            {"kind": "duckhouse", "pos": [1.0, 0.3], "rotate": 90,
+             "height": 0.1, "static": True},
+        ],
+        "tile_size": 0.585,
+    }
+    maps = map_loader.compile_map(data)
+    cfg = EnvConfig(obs_type="rgb", camera_width=64, camera_height=64,
+                    start_pose=(0.3, 0.15, 0.0),
+                    mesh_fidelity="triangles", auto_reset=False)
+    plan = build_render_plan(cfg, maps)
+    assert plan is not None
+    assert any(p.get("is_tri") for ob in plan["objs"]
+               for p in ob["prims"])
+    keys = jax.random.split(jax.random.PRNGKey(6), 8)
+    idx = jnp.zeros((8,), jnp.int32)
+    states = jax.vmap(lambda k, i: env_core.reset(cfg, maps, k, i))(
+        keys, idx
+    )
+    blob = pack_blob(states, maps)
+    planes = render_frames_from_blob(cfg, maps, blob, plan,
+                                     interpret=True)
+    img_b = np.asarray(planes_to_nhwc(cfg, planes)).astype(int)
+    img_x = np.asarray(
+        jax.vmap(lambda s: env_core.render_obs(cfg, maps, s))(states)
+    ).astype(int)
+    diff = np.abs(img_b - img_x)
+    assert diff.mean() < 2.0, diff.mean()
+    assert (diff > 10).mean() < 0.03
