@@ -15,4 +15,7 @@ python bench.py --grayscale --map small_loop                  # BASELINE config 
 python bench.py --grayscale                                   # grayscale obstacles
 python bench.py --map udem1 --size 96 --domain-rand           # BASELINE config 4
 python bench.py --width 640 --height 480 --envs 512           # reference-native res
-python bench.py --distortion                                  # fisheye obs (reference distortion=True)
+python bench.py --distortion                                  # fisheye obs (baked ray table, ~free since r3)
+python bench.py --map bigtown                                 # 18x18 town, 32 objects (clustered plan, r3)
+python bench.py --distortion --width 640 --height 480 --envs 512  # fisheye at native res (impossible pre-r3)
+python bench.py --grayscale --map udem1 --size 96 --domain-rand   # config-4 headroom probe (grayscale)
