@@ -27,6 +27,8 @@ POSES = [
     ("obstacles_duckie", "loop_obstacles", (2.0, 0.6), 0.0),
     ("udem1_town", "udem1", (1.5, 1.35), 0.0),
     ("4way_center", "4way", (1.5, 2.25), 1.5707964),
+    ("bigtown_street", "bigtown", (2.0, 1.35), 0.0),
+    ("s_bend_entry", "s_bend", (0.35, 1.3), 1.5707964),
 ]
 
 

@@ -67,7 +67,8 @@ def run_nav_rollout(n_steps=10, B=64, map_name="small_loop"):
     return np.asarray(rews), np.asarray(dones)
 
 
-def run_render(interpret: bool, map_name="loop_obstacles", B=64):
+def run_render(interpret: bool, map_name="loop_obstacles", B=64,
+               **cfg_kw):
     """Render B deterministic poses through the blob kernel.
 
     Exercises the WORLD-SPACE sphere path's NaN-propagation miss
@@ -87,7 +88,7 @@ def run_render(interpret: bool, map_name="loop_obstacles", B=64):
     from dtown.types import EnvConfig
 
     cfg = EnvConfig(obs_type="rgb", camera_width=64, camera_height=64,
-                    auto_reset=False)
+                    auto_reset=False, **cfg_kw)
     maps = map_loader.load_map(map_name)
     plan = build_render_plan(cfg, maps)
     keys = jax.random.split(jax.random.PRNGKey(11), B)
@@ -99,6 +100,84 @@ def run_render(interpret: bool, map_name="loop_obstacles", B=64):
     )
 
 
+def _write_tri_sample():
+    """Tiny OBJ/MTL mesh for the fused triangle path's Mosaic build."""
+    obj = """mtllib dtown_tri_sample.mtl
+v 0 0 0.2
+v 0.4 0 0.2
+v 0.4 0.3 0.2
+v 0 0.3 0.2
+v 0 0 -0.2
+v 0.4 0 -0.2
+v 0.4 0.3 -0.2
+v 0 0.3 -0.2
+v 0.2 0.55 0
+usemtl wall
+f 1 2 3 4
+f 5 6 7 8
+usemtl roof
+f 3 4 9
+"""
+    mtl = """newmtl wall
+Kd 0.7 0.7 0.65
+newmtl roof
+Kd 0.85 0.1 0.1
+"""
+    with open("/tmp/dtown_tri_sample.obj", "w") as f:
+        f.write(obj)
+    with open("/tmp/dtown_tri_sample.mtl", "w") as f:
+        f.write(mtl)
+    return "/tmp/dtown_tri_sample.obj"
+
+
+def run_render_tri(interpret: bool, B=16):
+    """Triangle-fidelity custom object through the blob kernel — the
+    decimated Moeller-Trumbore pass's first Mosaic build (guarded
+    inv_det division, scalar tvec/qvec chains)."""
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    from dtown import env as env_core, map_loader
+    from dtown.ops.fused_env import pack_blob
+    from dtown.render.blob_raster import (
+        build_render_plan, render_frames_from_blob,
+    )
+    from dtown.render.objmesh import register_custom_object
+    from dtown.types import EnvConfig
+
+    register_custom_object("tpu_tri_house", _write_tri_sample())
+    maps = map_loader.compile_map({
+        "tiles": [["straight/W", "straight/W", "straight/W"]],
+        "objects": [{"kind": "tpu_tri_house", "pos": [1.0, 0.3],
+                     "rotate": 90, "height": 0.1, "static": True}],
+        "tile_size": 0.585,
+    })
+    cfg = EnvConfig(obs_type="rgb", camera_width=64, camera_height=64,
+                    start_pose=(0.3, 0.15, 0.0),
+                    mesh_fidelity="triangles", auto_reset=False)
+    plan = build_render_plan(cfg, maps)
+    keys = jax.random.split(jax.random.PRNGKey(13), B)
+    idx = jnp.zeros((B,), jnp.int32)
+    states = jax.vmap(lambda k, i: env_core.reset(cfg, maps, k, i))(
+        keys, idx
+    )
+    blob = pack_blob(states, maps)
+    return np.asarray(
+        render_frames_from_blob(cfg, maps, blob, plan,
+                                interpret=interpret)
+    )
+
+
+# round-3 render cases beyond the plain ones: baked-ray-table fisheye
+# and the >24-object clustered plan (bigtown)
+R3_RENDER_CASES = (
+    ("loop_obstacles", {"distortion": True}, "fisheye"),
+    ("bigtown", {}, "bigtown"),
+)
+
+
 def main():
     import subprocess
 
@@ -106,10 +185,18 @@ def main():
 
     # child runs: TPU in THIS process, CPU interpret in a subprocess
     nav_only = os.environ.get("DTOWN_TPU_NAV_ONLY") == "1"
+    r3_only = os.environ.get("DTOWN_TPU_R3_ONLY") == "1"
     if os.environ.get("DTOWN_TPU_CHILD") == "cpu":
         import jax
 
         jax.config.update("jax_platforms", "cpu")
+        if r3_only:
+            for m, kw, tag in R3_RENDER_CASES:
+                np.save(f"/tmp/dtown_interp_frames_{tag}.npy",
+                        run_render(True, m, **kw))
+            np.save("/tmp/dtown_interp_frames_tri.npy",
+                    run_render_tri(True))
+            return
         rew_n, done_n = run_nav_rollout()
         np.save("/tmp/dtown_interp_nav_rew.npy", rew_n)
         np.save("/tmp/dtown_interp_nav_done.npy", done_n)
@@ -125,9 +212,14 @@ def main():
                                 map_name="straight_road")
         np.save("/tmp/dtown_interp_rew_straight.npy",
                 np.asarray([r for r, d in outs_s]))
-        for m in ("loop_obstacles", "udem1"):
-            np.save(f"/tmp/dtown_interp_frames_{m}.npy",
-                    run_render(True, m))
+        if os.environ.get("DTOWN_TPU_R3_ONLY") != "1":
+            for m in ("loop_obstacles", "udem1"):
+                np.save(f"/tmp/dtown_interp_frames_{m}.npy",
+                        run_render(True, m))
+        for m, kw, tag in R3_RENDER_CASES:
+            np.save(f"/tmp/dtown_interp_frames_{tag}.npy",
+                    run_render(True, m, **kw))
+        np.save("/tmp/dtown_interp_frames_tri.npy", run_render_tri(True))
         return
 
     env = dict(os.environ)
@@ -136,6 +228,28 @@ def main():
         os.path.abspath(__file__)))
     subprocess.run([sys.executable, os.path.abspath(__file__)], env=env,
                    check=True, timeout=1800)
+
+    def compare_r3_renders():
+        for m, kw, tag in R3_RENDER_CASES:
+            f_t = run_render(False, m, **kw).astype(int)
+            f_c = np.load(f"/tmp/dtown_interp_frames_{tag}.npy").astype(int)
+            dpx = np.abs(f_t - f_c)
+            print(f"render {tag}: mean {dpx.mean():.3f} max {dpx.max()} "
+                  f"frac>10 {(dpx > 10).mean():.5f}")
+            assert dpx.mean() < 1.0, f"{tag}: Mosaic render diverges"
+            assert (dpx > 10).mean() < 0.01, f"{tag}: flipped pixels"
+        f_t = run_render_tri(False).astype(int)
+        f_c = np.load("/tmp/dtown_interp_frames_tri.npy").astype(int)
+        dpx = np.abs(f_t - f_c)
+        print(f"render tri: mean {dpx.mean():.3f} max {dpx.max()} "
+              f"frac>10 {(dpx > 10).mean():.5f}")
+        assert dpx.mean() < 1.0, "tri: Mosaic render diverges"
+        assert (dpx > 10).mean() < 0.01, "tri: flipped pixels"
+
+    if r3_only:
+        compare_r3_renders()
+        print("TPU_VS_INTERPRET (r3 renders only): OK")
+        return
 
     # fused Nav kernel: first Mosaic build (STATUS TPU-queue item 6)
     rew_nt, done_nt = run_nav_rollout()
@@ -199,6 +313,7 @@ def main():
         # flips at prim silhouettes / dash boundaries are tolerable
         assert dpx.mean() < 1.0, f"{m}: Mosaic render diverges"
         assert (dpx > 10).mean() < 0.01, f"{m}: too many flipped pixels"
+    compare_r3_renders()
     print("TPU_VS_INTERPRET: OK")
 
 
