@@ -127,6 +127,30 @@ def test_blob_render_ineligible_cases():
     assert plan is not None and plan["cluster"] == 4
 
 
+def test_stack_with_clustered_member_matches_xla():
+    """A stack containing a >24-object (spatially clustered) member map
+    keeps the finer cluster granularity (map-gated AND geometric) and
+    still matches the XLA renderer."""
+    cfg = EnvConfig(obs_type="rgb", camera_width=64, camera_height=64,
+                    auto_reset=False)
+    maps = map_loader.stack_maps(["bigtown", "small_loop"])
+    plan = build_render_plan(cfg, maps)
+    assert plan is not None and plan["cluster"] == 4
+    assert sum(len(o["prims"]) for o in plan["objs"]) > 60
+    keys = jax.random.split(jax.random.PRNGKey(7), 8)
+    idx = jnp.arange(8, dtype=jnp.int32) % 2
+    states = jax.vmap(lambda k, i: env_core.reset(cfg, maps, k, i))(keys, idx)
+    blob = pack_blob(states, maps)
+    planes = render_frames_from_blob(cfg, maps, blob, plan, interpret=True)
+    img_b = np.asarray(planes_to_nhwc(cfg, planes)).astype(int)
+    img_x = np.asarray(
+        jax.vmap(lambda s: env_core.render_obs(cfg, maps, s))(states)
+    ).astype(int)
+    diff = np.abs(img_b - img_x)
+    assert diff.mean() < 2.0, diff.mean()
+    assert (diff > 10).mean() < 0.03
+
+
 def test_fused_distortion_blob_path():
     """Fisheye distortion (baked into the kernel ray table) changes the
     fused observation stream."""
