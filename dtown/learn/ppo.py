@@ -58,8 +58,10 @@ def make_ppo(cfg, maps, num_envs: int, ppo: PPOConfig = PPOConfig(),
 
     fused=True: rollouts carry the transposed state blob and advance via
     the fused Pallas state kernel + render kernel (ops/fused_env) — the
-    full training loop then runs at kernel speed. Restricted to the
-    state-kernel fast path (domain_rand off, static NPC poses).
+    full training loop then runs at kernel speed. Domain randomization,
+    moving NPCs and stacked multimaps all run in-kernel (r2); only RGB
+    stacks beyond the blob-render budget (>8 maps / >48 objects) are
+    refused (see _make_ppo_fused).
 
     nav=True (fused only): the Nav task (in-kernel goal bonus/done/
     redraw); goal_in_obs appends the agent-frame goal offset to state
@@ -268,7 +270,7 @@ def _make_ppo_fused(cfg, maps, num_envs, ppo, net, tx, nav=False,
             # path consumes planes — fail loudly instead of mis-shaping
             raise NotImplementedError(
                 "fused RGB PPO on a stack beyond the blob-render budget "
-                "(>8 maps / >24 objects) — use make_ppo(..., fused=False)"
+                "(>8 maps / >48 objects) — use make_ppo(..., fused=False)"
             )
 
     def obs_from(blob, obs_raw):

@@ -91,13 +91,16 @@ def pack_tile_words(kind, ang):
 def build_render_plan(cfg, maps):
     """Bake the full static scene plan, or None if ineligible.
 
-    Eligible: concrete (non-traced) maps with <= 24 objects per map —
-    single maps or stacks of <= 8 maps (<= 48 objects total, per-map
-    cluster predication). Moving NPCs (<= 8; pose read from the blob NPC
-    rows at render time), domain randomization (per-env DR blob rows)
-    and traffic lights (lamp phase from the per-env step counter) are
-    all supported in-plan. Returns None for traced map arrays or scenes
-    over budget (callers fall back to the row-fed / XLA paths).
+    Eligible: concrete (non-traced) maps with <= 48 objects — single
+    maps (straight-line masked code up to 24 objects, spatial cluster
+    predication for 25-48) or stacks of <= 8 maps (<= 48 objects total,
+    per-map cluster predication). Moving NPCs (<= 8; pose read from the
+    blob NPC rows at render time), domain randomization (per-env DR
+    blob rows), traffic lights (lamp phase from the per-env step
+    counter) and triangle-fidelity OBJ objects (decimated, with
+    cfg.mesh_fidelity='triangles') are all supported in-plan. Returns
+    None for traced map arrays or scenes over budget (callers fall back
+    to the row-fed / XLA paths).
     """
     if maps.tile_kind.ndim == 3:
         # stacked multimap: per-map plans merged; every lookup in-kernel
