@@ -639,14 +639,17 @@ def _make_blob_kernel(H, W, plan, epb, grayscale=False, s_blk=None,
                 carry = (l_, t_best)
             else:
                 # RGB object pass carries ONE packed-color int plane
-                # (0xRRGGBB, -1 = no object) + a shading plane instead of
-                # three color planes: each prim update is then 2 selects
-                # (packed const, sh) instead of 3 muls + 3 selects, and
-                # the color decode happens once after the loop. 8-bit
-                # color quantization is < 0.5 uint8 LSB after shading.
+                # (0xRRGGBB, -1 = no object) + a RAW-diffuse plane
+                # instead of three color planes: each prim update is
+                # then 2 selects (packed const, dv) instead of 3 muls +
+                # 3 selects, and both the color decode AND the shading
+                # math (sh = amb + kd*max(0, dv)) happen once after the
+                # loop — deferring the per-prim max+fma saves 2
+                # instructions per prim (r3). 8-bit color quantization
+                # is < 0.5 uint8 LSB after shading.
                 pk_ = jnp.full((s_blk, LANE_N), -1, jnp.int32)
-                sh_ = jnp.zeros((s_blk, LANE_N), f32)
-                carry = (pk_, sh_, t_best)
+                dv_ = jnp.zeros((s_blk, LANE_N), f32)
+                carry = (pk_, dv_, t_best)
             groups = cl_groups
             g_passes = [[] for _ in groups]
             g_npc = [None] * len(groups)
@@ -703,7 +706,7 @@ def _make_blob_kernel(H, W, plan, epb, grayscale=False, s_blk=None,
                     if grayscale:
                         l_, t_best = carry
                     else:
-                        pk_, sh_, t_best = carry
+                        pk_, dv_, t_best = carry
                     has_box = any(pr_["is_box"] for pr_ in ob["prims"])
                     has_tri = any(pr_.get("is_tri")
                                   for pr_ in ob["prims"])
@@ -848,9 +851,7 @@ def _make_blob_kernel(H, W, plan, epb, grayscale=False, s_blk=None,
                             nx_t, ny_t, nz_t = pr_["n"]
                             ndl = nx_t * lmx + ny_t * lmy + nz_t * lmz
                             nd = nx_t * dmx + ny_t * dy + nz_t * dmz
-                            diff = jnp.maximum(
-                                0.0, jnp.where(nd > 0.0, ndl, -ndl)
-                            )
+                            dv = jnp.where(nd > 0.0, ndl, -ndl)
                         elif pr_["is_box"]:
                             # diffuse from the axis-aligned model normal,
                             # WITHOUT reconstructing the hit point: for a
@@ -867,17 +868,15 @@ def _make_blob_kernel(H, W, plan, epb, grayscale=False, s_blk=None,
                             xb = (n1 >= n2) & (n1 >= n3)
                             yb = (n2 >= n3) & (~xb)
                             dv = jnp.where(xb, wx, jnp.where(yb, wy, wz))
-                            diff = jnp.maximum(0.0, dv)
                         else:
                             # sphere: normal = hit_rel/rw in world space;
                             # see dlw above (per-env, object-independent)
                             k1 = (ocx * lwx_e + ocy * lwy_e
                                   + ocz * lwz_e)
-                            diff = jnp.maximum(
-                                0.0,
-                                (k1 + t_m * dlw) * (-1.0 / max(rw, 1e-9)),
-                            )
-                        sh = amb_e + kd_e * diff
+                            dv = (k1 + t_m * dlw) * (-1.0 / max(rw, 1e-9))
+                        if grayscale:
+                            # luma path shades per prim (one plane)
+                            sh = amb_e + kd_e * jnp.maximum(0.0, dv)
 
                         def q8(c):
                             return max(0, min(255, int(round(c * 255.0))))
@@ -910,10 +909,10 @@ def _make_blob_kernel(H, W, plan, epb, grayscale=False, s_blk=None,
                             l_ = jnp.where(closer, cl_l * sh, l_)
                         else:
                             pk_ = jnp.where(closer, pkc, pk_)
-                            sh_ = jnp.where(closer, sh, sh_)
+                            dv_ = jnp.where(closer, dv, dv_)
                         t_best = jnp.where(closer, t_w, t_best)
                     return ((l_, t_best) if grayscale
-                            else (pk_, sh_, t_best))
+                            else (pk_, dv_, t_best))
 
                 if pred:
                     # Skip the whole object when this env culls it.
@@ -968,12 +967,14 @@ def _make_blob_kernel(H, W, plan, epb, grayscale=False, s_blk=None,
             if grayscale:
                 l_, t_best = carry
             else:
-                pk_, sh_, t_best = carry
+                pk_, dv_, t_best = carry
                 if plan["objs"]:
                     # one-time decode: unpack the winner's 8-bit color
-                    # and apply its shading where any prim won
+                    # and apply its shading (deferred: the loop carries
+                    # the raw diffuse dot) where any prim won
                     obj_m = pk_ >= 0
-                    shn = sh_ * jnp.float32(1.0 / 255.0)
+                    shn = (amb_e + kd_e * jnp.maximum(0.0, dv_)) \
+                        * jnp.float32(1.0 / 255.0)
                     r_ = jnp.where(
                         obj_m, ((pk_ >> 16) & 255).astype(f32) * shn, r_)
                     g_ = jnp.where(
