@@ -58,11 +58,11 @@ from jax.experimental.pallas import tpu as pltpu
 #   t_m = -bq - sqrt(disc)                    2  (+1 sqrt)
 #   t_w = t_m * g_sph                         1
 #   closer = (t_m > eps) & (t_w < t_best)     3
-#   diff = max(0, (k1 + t_m*dlw) * c)         4
-#   sh = amb + kd*diff                        2
-#   pk/sh/t_best selects                      3
-SPHERE_OPS = 22
-SPHERE_INSTR = 16  # FMA-paired: bq 2fma+1mul, disc 1fma, diff 1fma+2, sh 1fma
+#   dv = (k1 + t_m*dlw) * c  (shading DEFERRED
+#   to the post-loop decode since r3)          3
+#   pk/dv/t_best selects                       3
+SPHERE_OPS = 19
+SPHERE_INSTR = 14  # FMA-paired: bq 2fma+1mul, disc 1fma, dv 1fma+1mul
 SPHERE_TRANS = 1
 #   per-object sphere extras: none (dlw is shared across ALL objects)
 #
@@ -71,11 +71,10 @@ SPHERE_TRANS = 1
 #   tmin/tmax reductions                      4
 #   m_in, t_m select, hit                     5
 #   t_w, closer                               3
-#   face pick xb/yb + dv selects + max        9
-#   sh = amb + kd*diff                        2
-#   pk/sh/t_best selects                      3
-BOX_OPS = 38
-BOX_INSTR = 36  # slabs don't pair; sh 1fma, face logic 8
+#   face pick xb/yb + dv selects               7 (shading deferred, r3)
+#   pk/dv/t_best selects                        3
+BOX_OPS = 34
+BOX_INSTR = 34  # slabs don't pair; face logic 7
 BOX_TRANS = 0
 #   per-object box overhead (amortized over its prims):
 #   dmx, dmz rotations (2 mul + 1 add each)   6
@@ -84,6 +83,13 @@ BOX_TRANS = 0
 BOX_OBJ_OPS = 12
 BOX_OBJ_INSTR = 10  # dm rotations pair into 2 fma + 2 mul
 BOX_OBJ_TRANS = 3
+#
+# triangle prim (decimated OBJ fidelity, r3): pvec cross 9, det 5,
+# guarded inv_det 2 (+1 div), u/v dots 12, t 1, hit chain 7, t_w+closer
+# 3, nd 5, dv select 2, pk/dv/t_best selects 3
+TRI_OPS = 49
+TRI_INSTR = 38
+TRI_TRANS = 1
 
 
 def census(plan):
@@ -95,7 +101,11 @@ def census(plan):
             instr += BOX_OBJ_INSTR
             trans += BOX_OBJ_TRANS
         for p in ob["prims"]:
-            if p["is_box"]:
+            if p.get("is_tri"):
+                ops += TRI_OPS
+                instr += TRI_INSTR
+                trans += TRI_TRANS
+            elif p["is_box"]:
                 ops += BOX_OPS
                 instr += BOX_INSTR
                 trans += BOX_TRANS
