@@ -14,6 +14,9 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
+# NOTE: jax>=0.8 stabilized jax.shard_map but renamed check_rep ->
+# check_vma; the experimental alias keeps the old kwarg and only warns.
+# Migrate both together when dropping pre-0.8 support.
 from jax.experimental.shard_map import shard_map
 
 from dtown import env as env_core
