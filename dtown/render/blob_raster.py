@@ -402,10 +402,67 @@ def _cluster_bounds(group):
     return cx, cz, r_c, r_v
 
 
+def _static_ray_planes(H, W, plan, fisheye):
+    """[5, S, 128] numpy f32 static per-pixel ray planes for the
+    non-domain-rand path. With domain randomization off the camera
+    intrinsics (FOV, pitch) are compile-time constants, and the basis
+    (fwd, right, up) is orthonormal, so |d|^2 = 1 + xn^2 + yn^2 is
+    env-INDEPENDENT: the whole normalization — and the vertical ray
+    component dy, which a yaw-only rotation never touches — bake to
+    constants. Per env the ray is then just a yaw rotation of two
+    baked planes:
+
+        dx = c_a*A + s_a*B,  dz = c_a*B - s_a*A,  dy = D (constant)
+
+    and the ground-ray divide becomes a multiply, t_g = eye_y * E with
+    E = -1/D (0 on sky lanes, where the in_grid/ground masks already
+    exclude the pixel). F = safe_inv(D) hoists the per-box-object
+    y-slab divide out of the object pass entirely. Fisheye plugs the
+    Newton-inverted NDC table (distortion.undistorted_ndc) into the
+    same bake. Returns [A, B, D, E, F] stacked.
+    """
+    S = H * W // LANE_N
+    if fisheye:
+        from dtown.render.distortion import undistorted_ndc
+
+        xb, yb = undistorted_ndc(W, H)
+        xn_b = np.asarray(xb, np.float64).reshape(S, LANE_N)
+        yn_b = np.asarray(yb, np.float64).reshape(S, LANE_N)
+    else:
+        p = np.arange(S * LANE_N, dtype=np.int64).reshape(S, LANE_N)
+        y = p // W
+        x = p - y * W
+        xn_b = ((x + 0.5) * (1.0 / W) - 0.5) * 2.0
+        yn_b = (0.5 - (y + 0.5) * (1.0 / H)) * 2.0
+    aspect = W / H
+    xn = xn_b * (plan["tan_half"] * aspect)
+    yn = yn_b * plan["tan_half"]
+    sp, cp = plan["sin_pitch"], plan["cos_pitch"]
+    ws = 1.0 / np.sqrt(1.0 + xn * xn + yn * yn)
+    A = ((cp + yn * sp) * ws).astype(np.float32)
+    B = (xn * ws).astype(np.float32)
+    # D in f32 FIRST so the kernel's ground compare (D < -1e-6) and the
+    # baked E agree bit-for-bit on boundary lanes (an f64/f32 sign
+    # disagreement would give a sky lane t_g = 0 and an in-grid tile hit)
+    D = ((-sp + yn * cp) * ws).astype(np.float32)
+    ground = D < -1e-6
+    E = np.where(ground, -1.0 / np.where(ground, D.astype(np.float64),
+                                         1.0), 0.0).astype(np.float32)
+    # safe_inv(D): the box y-slab reciprocal (clamped at |dy| < 1e-9)
+    Dc = np.where(np.abs(D) < 1e-9, np.where(D >= 0, 1e-9, -1e-9),
+                  D.astype(np.float64))
+    F = (1.0 / Dc).astype(np.float32)
+    return np.stack([A, B, D, E, F])
+
+
 def _make_blob_kernel(H, W, plan, epb, grayscale=False, s_blk=None,
-                      fisheye=False):
+                      fisheye=False, rays=None):
     """Kernel: blob rows [epb, NF] -> uint8 frames [epb, C, S, 128]
     (C = 1 luma plane under grayscale, else 3 RGB planes).
+
+    rays: baked static ray planes (_static_ray_planes) passed as an
+    extra [5, s_blk, 128] input when domain rand is off — the kernel
+    then skips the per-env ray normalization and ground divide.
 
     s_blk < S tiles the frame over a second grid dimension (pixel-row
     blocks): each program renders s_blk of the S sublane rows, keeping
@@ -475,15 +532,32 @@ def _make_blob_kernel(H, W, plan, epb, grayscale=False, s_blk=None,
     deg = math.pi / 180.0
     multi = plan.get("multi")
     npw_m = multi["npw"] if multi else 0
+    # Static ray planes (see _static_ray_planes): with DR off the whole
+    # per-pixel ray setup (normalization, dy, the ground divide and the
+    # box y-slab reciprocal) is baked; per env only the yaw rotation of
+    # two planes remains.
+    static_cam = rays is not None
 
     def kernel(blob_ref, *refs):
         # blob_ref: transposed blob rows [epb, NF]
-        if fisheye:
+        if static_cam:
+            rays_ref, out_ref = refs
+        elif fisheye:
             ndc_ref, out_ref = refs
         else:
             (out_ref,) = refs
         f32 = jnp.float32
-        if fisheye:
+        if static_cam:
+            # env-independent: read/derive ONCE per program (amortized
+            # over the epb envs)
+            A_p = rays_ref[0]
+            B_p = rays_ref[1]
+            D_p = rays_ref[2]
+            E_p = rays_ref[3]
+            F_p = rays_ref[4]
+            gmask_p = D_p < -1e-6
+            skyf_p = 1.0 - 0.35 * jnp.maximum(0.0, D_p)
+        elif fisheye:
             # distortion baked into the ray table: per-pixel NDC factors
             # from the Newton-inverted plumb-bob model (this row block)
             xn_b = ndc_ref[0]
@@ -544,30 +618,40 @@ def _make_blob_kernel(H, W, plan, epb, grayscale=False, s_blk=None,
                 gr_e, gg_e, gb_e = gr, gg, gb
                 hr_e, hg_e, hb_e = hr, hg, hb
 
-            xn = xn_b * tanx_e
-            yn = yn_b * tany_e
             s_a, c_a = _scalar_sincos(ang_s)
-            # camera basis (prepare_camera_row, scalar form):
-            # fwd_flat=(c,-0,-s); right=(s,0,c); forward=cp*fwd_flat-sp*up;
-            # up_v=cp*up+sp*fwd_flat
-            fwd_x, fwd_y, fwd_z = cp_e * c_a, -sp_e, -cp_e * s_a
-            up_x, up_y, up_z = sp_e * c_a, cp_e, -sp_e * s_a
-            r_x, r_z = s_a, c_a
             eye0 = px_s + camf_e * c_a
             eye1 = py_s + camh_e
             eye2 = pz_s + camf_e * (-s_a)
+            if static_cam:
+                # baked ray basis: yaw rotation of two constant planes;
+                # dy is a constant, the ground divide is a multiply
+                # (t_g on sky lanes is 0, excluded by hits_ground below)
+                dx = c_a * A_p + s_a * B_p
+                dy = D_p
+                dz = c_a * B_p - s_a * A_p
+                hits_ground = gmask_p
+                t_g = eye1 * E_p
+            else:
+                xn = xn_b * tanx_e
+                yn = yn_b * tany_e
+                # camera basis (prepare_camera_row, scalar form):
+                # fwd_flat=(c,-0,-s); right=(s,0,c);
+                # forward=cp*fwd_flat-sp*up; up_v=cp*up+sp*fwd_flat
+                fwd_x, fwd_y, fwd_z = cp_e * c_a, -sp_e, -cp_e * s_a
+                up_x, up_y, up_z = sp_e * c_a, cp_e, -sp_e * s_a
+                r_x, r_z = s_a, c_a
 
-            dx = fwd_x + xn * r_x + yn * up_x
-            dy = fwd_y + yn * up_y
-            dz = fwd_z + xn * r_z + yn * up_z
-            inv_n = jax.lax.rsqrt(dx * dx + dy * dy + dz * dz)
-            dx, dy, dz = dx * inv_n, dy * inv_n, dz * inv_n
+                dx = fwd_x + xn * r_x + yn * up_x
+                dy = fwd_y + yn * up_y
+                dz = fwd_z + xn * r_z + yn * up_z
+                inv_n = jax.lax.rsqrt(dx * dx + dy * dy + dz * dz)
+                dx, dy, dz = dx * inv_n, dy * inv_n, dz * inv_n
 
-            hits_ground = dy < -1e-6
-            t_g = jnp.where(
-                hits_ground, -eye1 / jnp.where(hits_ground, dy, -1.0),
-                jnp.float32(1e30),
-            )
+                hits_ground = dy < -1e-6
+                t_g = jnp.where(
+                    hits_ground, -eye1 / jnp.where(hits_ground, dy, -1.0),
+                    jnp.float32(1e30),
+                )
             fx = (eye0 + t_g * dx) * ts_inv
             fz = (eye2 + t_g * dz) * ts_inv
             ti = jnp.floor(fx)
@@ -603,7 +687,8 @@ def _make_blob_kernel(H, W, plan, epb, grayscale=False, s_blk=None,
             r_ = jnp.where(in_grid, r_, gr_e) * shade_e
             g_ = jnp.where(in_grid, g_, gg_e) * shade_e
             b_ = jnp.where(in_grid, b_, gb_e) * shade_e
-            sky_f = 1.0 - 0.35 * jnp.maximum(0.0, dy)
+            sky_f = skyf_p if static_cam \
+                else 1.0 - 0.35 * jnp.maximum(0.0, dy)
             r_ = jnp.where(hits_ground, r_, hr_e * sky_f)
             g_ = jnp.where(hits_ground, g_, hg_e * sky_f)
             b_ = jnp.where(hits_ground, b_, hb_e * sky_f)
@@ -728,7 +813,10 @@ def _make_blob_kernel(H, W, plan, epb, grayscale=False, s_blk=None,
                                 jnp.where(dm >= 0, 1e-9, -1e-9), dm)
 
                         inv_dmx = safe_inv(dmx)
-                        inv_dmy = safe_inv(dy)
+                        # dy is a baked constant under static_cam: its
+                        # clamped reciprocal is the baked F plane, so
+                        # each box object saves a per-env vector divide
+                        inv_dmy = F_p if static_cam else safe_inv(dy)
                         inv_dmz = safe_inv(dmz)
                         # axis-aligned diffuse weights, hoisted out of
                         # the prim loop (dm signs are per OBJECT):
@@ -1037,14 +1125,20 @@ def render_frames_from_blob(cfg, maps, blob, plan, epb=None,
                 s_blk = cand
                 break
     fisheye = bool(cfg.distortion)
+    static_cam = (not plan["domain_rand"]
+                  and os.environ.get("DTOWN_STATIC_RAYS", "1") != "0")
+    rays = (_static_ray_planes(H, W, plan, fisheye) if static_cam
+            else None)
     kernel = _make_blob_kernel(H, W, plan, epb, grayscale=cfg.grayscale,
-                               s_blk=s_blk, fisheye=fisheye)
+                               s_blk=s_blk, fisheye=fisheye, rays=rays)
     if s_blk == S:
         grid = (B // epb,)
         in_specs = [pl.BlockSpec((epb, nf), lambda b: (b, 0),
                                  memory_space=pltpu.VMEM)]
         ndc_spec = pl.BlockSpec((2, S, LANE_N), lambda b: (0, 0, 0),
                                 memory_space=pltpu.VMEM)
+        rays_spec = pl.BlockSpec((5, S, LANE_N), lambda b: (0, 0, 0),
+                                 memory_space=pltpu.VMEM)
         out_spec = pl.BlockSpec((epb, C, S, LANE_N),
                                 lambda b: (b, 0, 0, 0),
                                 memory_space=pltpu.VMEM)
@@ -1055,11 +1149,17 @@ def render_frames_from_blob(cfg, maps, blob, plan, epb=None,
         ndc_spec = pl.BlockSpec((2, s_blk, LANE_N),
                                 lambda b, sb: (0, sb, 0),
                                 memory_space=pltpu.VMEM)
+        rays_spec = pl.BlockSpec((5, s_blk, LANE_N),
+                                 lambda b, sb: (0, sb, 0),
+                                 memory_space=pltpu.VMEM)
         out_spec = pl.BlockSpec((epb, C, s_blk, LANE_N),
                                 lambda b, sb: (b, 0, sb, 0),
                                 memory_space=pltpu.VMEM)
     operands = [blob.T]
-    if fisheye:
+    if static_cam:
+        in_specs.append(rays_spec)
+        operands.append(jnp.asarray(rays))
+    elif fisheye:
         from dtown.render.distortion import undistorted_ndc
 
         xb, yb = undistorted_ndc(W, H)
