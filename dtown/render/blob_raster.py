@@ -537,6 +537,17 @@ def _make_blob_kernel(H, W, plan, epb, grayscale=False, s_blk=None,
     # box y-slab reciprocal) is baked; per env only the yaw rotation of
     # two planes remains.
     static_cam = rays is not None
+    # Output clamp eliminable when every contribution is provably in
+    # [0, 1]: ground via the shade-bound assert in pallas_raster (import
+    # time), objects because the nominal light is unit-norm (diffuse
+    # dv <= 1, so sh <= amb + kd = 1) and the baked colors are checked
+    # here, sky because horizon <= 1 and skyf <= 1. DR leaves the light
+    # vector unnormalized (dv can exceed 1), so DR keeps the clamp.
+    no_clamp = (not dr) and all(
+        0.0 <= c <= 1.0
+        for ob in plan["objs"] for pr_ in ob["prims"] for c in pr_["color"]
+    ) and all(0.0 <= c <= 1.0
+              for c in tuple(plan["ground"]) + tuple(plan["horizon"]))
 
     def kernel(blob_ref, *refs):
         # blob_ref: transposed blob rows [epb, NF]
@@ -1071,6 +1082,9 @@ def _make_blob_kernel(H, W, plan, epb, grayscale=False, s_blk=None,
                         obj_m, (pk_ & 255).astype(f32) * shn, b_)
 
             def to_u8(xv):
+                if no_clamp:
+                    return (xv * 255.0 + 0.5).astype(jnp.int32).astype(
+                        jnp.uint8)
                 return (jnp.clip(xv, 0.0, 1.0) * 255.0 + 0.5).astype(
                     jnp.int32).astype(jnp.uint8)
 

@@ -63,6 +63,18 @@ def _select_word(words_ref, widx, n_words):
     return word
 
 
+# The shade_tile clip(base*bright + noise, 0, 1) is a PROVABLE no-op for
+# every texture variant (bright in [0.94, 1.06], |noise| <= amp): checked
+# here once at import so the kernels can drop the 6 vector ops — if a
+# color constant ever pushes past the bound this assert fires instead of
+# silently wrapping the u8 output.
+_MAX_AMP = max(0.03, NOISE_AMP, 0.015)
+assert max(max(c) for c in (YELLOW, WHITE, ASPHALT, GRASS, FLOOR, EMPTY)) \
+    * 1.06 + _MAX_AMP <= 1.0, "shade_tile clip is no longer a no-op"
+assert min(min(c) for c in (YELLOW, WHITE, ASPHALT, GRASS, FLOOR, EMPTY)) \
+    * 0.94 - _MAX_AMP >= 0.0, "shade_tile clip is no longer a no-op"
+
+
 def _shade_pixels(kind, angle_idx, variant, u, v, present=None):
     """Kernel-safe port of shading.shade_tile (no arctan2, no tables).
 
@@ -72,6 +84,12 @@ def _shade_pixels(kind, angle_idx, variant, u, v, present=None):
     variant may be a python int (texture variant fixed at compile time —
     the no-domain-rand fast path always uses variant 0): the per-pixel
     variant extraction and brightness scale then fold into constants.
+
+    Differences from shade_tile, covered by the blob-vs-XLA tolerance:
+    the arc dash phase uses the linear |dz|-|dx| angle proxy (exact at
+    the arc endpoints and midpoint, <=4%-of-period off between — the
+    XLA path keeps arctan2), and the output clip is dropped (no-op by
+    the import-time bound assert above).
     """
     f32 = jnp.float32
     if present is None:
@@ -105,9 +123,12 @@ def _shade_pixels(kind, angle_idx, variant, u, v, present=None):
         dz = bv - cv
         r = jnp.sqrt(dx * dx + dz * dz)
         # dash position along the quarter arc: r * theta with theta
-        # approximated monotonically by |dz| / (|dx| + |dz|) * (pi/2)
-        tprox = jnp.abs(dz) / jnp.maximum(jnp.abs(dx) + jnp.abs(dz), 1e-6)
-        center = line(r - 0.5) & dashed(r * tprox * 1.5707964)
+        # approximated monotonically by (1 + (|dz|-|dx|)/r) * (pi/4) —
+        # exact at the endpoints and midpoint, divide-free (the earlier
+        # |dz|/(|dx|+|dz|) proxy cost a vector divide per arc)
+        center = line(r - 0.5) & dashed(
+            (r + (jnp.abs(dz) - jnp.abs(dx))) * 0.78539816
+        )
         edge = line(r - EDGE_INSET) | line(r - (1 - EDGE_INSET))
         return center, edge
 
@@ -170,9 +191,11 @@ def _shade_pixels(kind, angle_idx, variant, u, v, present=None):
 
     r_, g_, b_ = chan(0), chan(1), chan(2)
 
-    # integer-hash noise (same as shading._hash_noise)
-    tx = jnp.clip((bu * NOISE_CELLS).astype(jnp.int32), 0, NOISE_CELLS - 1)
-    ty = jnp.clip((bv * NOISE_CELLS).astype(jnp.int32), 0, NOISE_CELLS - 1)
+    # integer-hash noise (same as shading._hash_noise). bu/bv are in
+    # [0, 1] by construction (exact +-1/0 rotation of centered [−.5, .5)
+    # offsets), so only the upper clamp can ever bind
+    tx = jnp.minimum((bu * NOISE_CELLS).astype(jnp.int32), NOISE_CELLS - 1)
+    ty = jnp.minimum((bv * NOISE_CELLS).astype(jnp.int32), NOISE_CELLS - 1)
     seed = variant + 7 * kind
     h = (tx * 73856093 + ty * 19349663 + seed * 83492791) & 0x7FFFFFFF
     h = (h ^ (h >> 13)) * 1274126177 & 0x7FFFFFFF
@@ -184,9 +207,10 @@ def _shade_pixels(kind, angle_idx, variant, u, v, present=None):
     else:
         bright = 0.94 + 0.04 * variant.astype(f32)
     noise = amp * n
-    r_ = jnp.clip(r_ * bright + noise, 0.0, 1.0)
-    g_ = jnp.clip(g_ * bright + noise, 0.0, 1.0)
-    b_ = jnp.clip(b_ * bright + noise, 0.0, 1.0)
+    # no clip: a provable no-op (import-time bound assert above)
+    r_ = r_ * bright + noise
+    g_ = g_ * bright + noise
+    b_ = b_ * bright + noise
     return r_, g_, b_
 
 

@@ -4,6 +4,7 @@ via orbax, enabling multi-host restart)."""
 from __future__ import annotations
 
 import os
+import re
 
 import jax
 
@@ -16,27 +17,64 @@ def save(path: str, state_pytree):
     ckptr.wait_until_finished()
 
 
-def save_atomic(path: str, state_pytree):
+def save_atomic(path: str, state_pytree, keep: int = 2):
     """Crash-safe periodic overwrite for elastic training.
 
     A plain `save(force=True)` DELETES the existing checkpoint before
     writing the new one — a kill during any overwrite loses both
     snapshots (measured: the kill-resume e2e test caught exactly this).
-    Here `path` becomes a directory of two alternating orbax slots (A/B)
-    plus a pointer file LATEST, flipped by atomic os.replace only after
-    the new slot is fully committed: a kill at ANY instant leaves LATEST
+    Here `path` becomes a directory of rotating orbax slots plus a
+    pointer file LATEST, flipped by atomic os.replace only after the
+    new slot is fully committed: a kill at ANY instant leaves LATEST
     naming one intact snapshot. `restore`/`restore_any` follow the
     pointer transparently (and still accept plain orbax dirs).
+
+    keep: snapshots retained after each save (>= 1; the pointee always
+    survives). keep > 2 enables rollback to older iterations: slots()
+    lists the retained directories oldest-first, and any of them can be
+    passed to restore()/restore_any() directly. Legacy two-slot (A/B)
+    directories keep working and rotate into the sequence scheme.
     """
     base = os.path.abspath(path)
     os.makedirs(base, exist_ok=True)
     cur = _read_pointer(base)
-    nxt = "B" if cur == "A" else "A"
+    seq = 0
+    if cur is not None:
+        m = re.match(r"s(\d+)$", cur)
+        seq = int(m.group(1)) + 1 if m else 1
+    nxt = "s%06d" % seq
     save(os.path.join(base, nxt), state_pytree)
     tmp = os.path.join(base, "LATEST.tmp")
     with open(tmp, "w") as f:
         f.write(nxt)
     os.replace(tmp, os.path.join(base, "LATEST"))
+    # prune: oldest first, never the just-committed pointee
+    import shutil
+
+    old = slots(base)[:-max(1, int(keep))]
+    for d in old:
+        if os.path.basename(d) != nxt:
+            shutil.rmtree(d, ignore_errors=True)
+
+
+def slots(path: str):
+    """Retained save_atomic snapshot directories, oldest-first (legacy
+    A/B slots order by mtime before the numbered sequence)."""
+    base = os.path.abspath(path)
+    if not os.path.isdir(base):
+        return []
+    legacy, seq = [], []
+    for name in os.listdir(base):
+        full = os.path.join(base, name)
+        if not os.path.isdir(full):
+            continue
+        if re.match(r"s(\d+)$", name):
+            seq.append(full)
+        elif name in ("A", "B"):
+            legacy.append(full)
+    legacy.sort(key=os.path.getmtime)
+    seq.sort(key=lambda d: int(os.path.basename(d)[1:]))
+    return legacy + seq
 
 
 def _read_pointer(base: str):

@@ -49,6 +49,10 @@ def main():
                     help="save the full train state to --ckpt every N "
                          "iterations (atomic overwrite; a killed run "
                          "resumes from the last snapshot via --resume)")
+    ap.add_argument("--ckpt-keep", type=int, default=2,
+                    help="snapshots retained in the --ckpt rotation "
+                         "(>2 allows rollback to older iterations; "
+                         "see utils.checkpoint.slots)")
     ap.add_argument("--resume", default=None,
                     help="restore a --ckpt snapshot and continue from "
                          "its recorded iteration (elastic restart; "
@@ -178,9 +182,9 @@ def main():
         from dtown.utils import checkpoint
 
         # crash-safe overwrite: a kill at any instant leaves one intact
-        # snapshot (alternating slots + atomic pointer)
+        # snapshot (rotating slots + atomic pointer)
         checkpoint.save_atomic(os.path.abspath(args.ckpt),
-                               payload(ts, it))
+                               payload(ts, it), keep=args.ckpt_keep)
         print(f"saved full train state to {args.ckpt} (iter {it})",
               file=sys.stderr)
 

@@ -133,3 +133,43 @@ def test_resume_noop_when_complete(tmp_path):
     r = _run(["--iters", "2", "--ckpt", ck, "--resume", ck])
     assert "nothing to do" in r.stdout
     assert _iters_logged(r.stdout) == []
+
+
+def test_save_atomic_keep_rotation(tmp_path):
+    """keep=N retains the newest N snapshots (oldest-first in slots());
+    every retained slot restores directly, enabling rollback."""
+    from dtown.utils import checkpoint
+
+    base = str(tmp_path / "ck")
+    for i in range(5):
+        checkpoint.save_atomic(base, {"it": np.asarray(i)}, keep=3)
+    kept = checkpoint.slots(base)
+    assert len(kept) == 3
+    # newest via the pointer
+    assert int(checkpoint.restore_any(base)["it"]) == 4
+    # rollback: each retained slot restores to its own iteration
+    vals = [int(checkpoint.restore_any(d)["it"]) for d in kept]
+    assert vals == [2, 3, 4], vals
+
+
+def test_save_atomic_legacy_ab_migrates(tmp_path):
+    """A directory written by the old two-slot (A/B) scheme keeps
+    working: the next save rotates into the numbered sequence and the
+    pointer still resolves."""
+    import shutil
+
+    from dtown.utils import checkpoint
+
+    base = str(tmp_path / "ck")
+    # fabricate a legacy layout: orbax slot "A" + LATEST -> A
+    checkpoint.save_atomic(base, {"it": np.asarray(7)})
+    new = checkpoint.resolve(base)
+    legacy = os.path.join(base, "A")
+    shutil.move(new, legacy)
+    with open(os.path.join(base, "LATEST"), "w") as f:
+        f.write("A")
+    assert int(checkpoint.restore_any(base)["it"]) == 7
+    checkpoint.save_atomic(base, {"it": np.asarray(8)}, keep=2)
+    assert int(checkpoint.restore_any(base)["it"]) == 8
+    names = [os.path.basename(d) for d in checkpoint.slots(base)]
+    assert names == ["A", "s000001"], names
