@@ -14,10 +14,10 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
-# NOTE: jax>=0.8 stabilized jax.shard_map but renamed check_rep ->
-# check_vma; the experimental alias keeps the old kwarg and only warns.
-# Migrate both together when dropping pre-0.8 support.
-from jax.experimental.shard_map import shard_map
+# jax>=0.8 stabilized jax.shard_map (check_rep renamed to check_vma);
+# this env pins jax 0.9. The experimental alias (old kwarg) warned
+# deprecated on every import and would break on the next jax upgrade.
+from jax import shard_map
 
 from dtown import env as env_core
 from dtown.parallel.mesh import (
@@ -105,7 +105,7 @@ def make_sharded_ppo(cfg, maps, num_envs: int, ppo=None, mesh=None,
         mesh=mesh,
         in_specs=(P(axes),),
         out_specs=(P(), env_spec, P()),
-        check_rep=False,
+        check_vma=False,
     )
     def _sharded_init(keys):
         # shared net key -> identical params on every shard; per-shard env
@@ -126,7 +126,7 @@ def make_sharded_ppo(cfg, maps, num_envs: int, ppo=None, mesh=None,
         mesh=mesh,
         in_specs=(P(), P(), env_spec, P()),
         out_specs=((P(), P(), env_spec, P()), P()),
-        check_rep=False,
+        check_vma=False,
     )
     def _sharded_train_step(params, opt_state, env_states, key):
         from dtown.learn.ppo import TrainState
@@ -177,7 +177,7 @@ def _make_sharded_ppo_rnn(cfg, maps, per_dev, ppo, mesh, axes, n_dev,
         mesh=mesh,
         in_specs=(P(axes),),
         out_specs=(P(), P(axes), P(), P(axes)),
-        check_rep=False,
+        check_vma=False,
     )
     def _sharded_init(keys):
         idx = shard_index()
@@ -194,7 +194,7 @@ def _make_sharded_ppo_rnn(cfg, maps, per_dev, ppo, mesh, axes, n_dev,
         mesh=mesh,
         in_specs=(P(), P(), P(axes), P(), P(axes)),
         out_specs=((P(), P(), P(axes), P(), P(axes)), P()),
-        check_rep=False,
+        check_vma=False,
     )
     def _sharded_train_step(params, opt_state, env_states, key, carry):
         idx = shard_index()

@@ -25,9 +25,20 @@ def variant_hash(tile_id, seed):
     kernel (render/blob_raster.py), so both paths see the same variant
     field for the same seed. Plain int32 jnp ops — kernel-safe.
     """
-    h = (tile_id * 73856093 + seed * 19349663 + 5189) & 0x7FFFFFFF
-    h = ((h ^ (h >> 13)) * 1274126177) & 0x7FFFFFFF
-    return (h ^ (h >> 16)) & (N_TEX_VARIANTS - 1)
+    # Multiply-free Jenkins-style mix (same rounds as
+    # shading._hash_noise): int32 multiplies are emulated multi-op on
+    # the TPU VPU and this hash runs per PIXEL in the fused kernel's
+    # domain-rand path. Uniformity/decorrelation checked r4 (per-variant
+    # frequency 0.247-0.252, adjacent-tile agreement 0.259 ~ ideal
+    # 0.25, cross-seed agreement 0.229).
+    h = (tile_id ^ (seed << 13)) + seed
+    h = h + (h << 10)
+    h = h ^ (h >> 6)
+    h = h + (h << 3)
+    h = h ^ (h >> 11)
+    h = h + (h << 15)
+    h = h ^ (h >> 7)
+    return h & (N_TEX_VARIANTS - 1)
 
 # Nominal (no-randomization) values — numpy on purpose: module-level jnp
 # constants can leak as tracers when first materialized inside a trace

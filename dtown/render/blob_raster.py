@@ -44,7 +44,12 @@ from dtown import constants as Cc
 from dtown import types as T
 from dtown.ops import state_kernel as sk
 from dtown.render import meshes as meshlib
-from dtown.render.pallas_raster import LANE_N, _shade_pixels
+from dtown.render.pallas_raster import (
+    LANE_N, _noise_h16f, _shade_pixels, _tile_masks,
+)
+from dtown.render.shading import (
+    ASPHALT, EMPTY, FLOOR, GRASS, NOISE_AMP, WHITE, YELLOW,
+)
 
 # Triangle budget per OBJ-registered object on the fused path (the XLA
 # renderer's fidelity pass uses the full 64-triangle buffer; in-kernel
@@ -402,8 +407,8 @@ def _cluster_bounds(group):
     return cx, cz, r_c, r_v
 
 
-def _static_ray_planes(H, W, plan, fisheye):
-    """[5, S, 128] numpy f32 static per-pixel ray planes for the
+def _static_ray_planes(H, W, plan, fisheye, grayscale=False):
+    """[6, S, 128] numpy f32 static per-pixel ray planes for the
     non-domain-rand path. With domain randomization off the camera
     intrinsics (FOV, pitch) are compile-time constants, and the basis
     (fwd, right, up) is orthonormal, so |d|^2 = 1 + xn^2 + yn^2 is
@@ -419,7 +424,11 @@ def _static_ray_planes(H, W, plan, fisheye):
     exclude the pixel). F = safe_inv(D) hoists the per-box-object
     y-slab divide out of the object pass entirely. Fisheye plugs the
     Newton-inverted NDC table (distortion.undistorted_ndc) into the
-    same bake. Returns [A, B, D, E, F] stacked.
+    same bake. The sky color is likewise env-independent (horizon color
+    and the falloff 1 - 0.35*max(0, dy) both bake), so plane 5 carries
+    the finished sky pixels: packed 0xRRGGBB u8 ints stored in f32
+    (exact below 2^24) for RGB, the luma f32 value for grayscale.
+    Returns [A, B, D, E, F, SKY] stacked.
     """
     S = H * W // LANE_N
     if fisheye:
@@ -452,7 +461,19 @@ def _static_ray_planes(H, W, plan, fisheye):
     Dc = np.where(np.abs(D) < 1e-9, np.where(D >= 0, 1e-9, -1e-9),
                   D.astype(np.float64))
     F = (1.0 / Dc).astype(np.float32)
-    return np.stack([A, B, D, E, F])
+    # baked sky pixels (see docstring); skyf from the f32 D the kernel
+    # compares so boundary lanes agree bit-for-bit
+    skyf = 1.0 - 0.35 * np.maximum(0.0, D.astype(np.float64))
+    hr, hg, hb = plan["horizon"]
+    if grayscale:
+        sky = (0.299 * hr + 0.587 * hg + 0.114 * hb) * skyf
+        SKY = sky.astype(np.float32)
+    else:
+        def q(c):
+            return np.clip(np.round(c * skyf * 255.0), 0, 255).astype(
+                np.int64)
+        SKY = (q(hr) * 65536 + q(hg) * 256 + q(hb)).astype(np.float32)
+    return np.stack([A, B, D, E, F, SKY])
 
 
 def _make_blob_kernel(H, W, plan, epb, grayscale=False, s_blk=None,
@@ -537,6 +558,69 @@ def _make_blob_kernel(H, W, plan, epb, grayscale=False, s_blk=None,
     # box y-slab reciprocal) is baked; per env only the yaw rotation of
     # two planes remains.
     static_cam = rays is not None
+    # Packed-u8 ground path (diet v2): with DR off, variant is 0 and the
+    # light is the nominal constant, so base_color*brightness*shade
+    # quantizes to compile-time u8 constants — the whole per-channel
+    # ground select/mul/add chain (15 float selects + 12 muls/adds per
+    # env) collapses to 5 int selects on ONE packed 0xRRGGBB plane.
+    # Noise is achromatic (the same value added to all three channels),
+    # so it becomes a single carry-free packed integer add (the byte
+    # bound is asserted at import in pallas_raster). The sky is a baked
+    # packed plane (rays plane 5). Ground pixels enter the object pass
+    # as the pk_ carry itself with dv_=1 (decode shading amb+kd*1 == 1
+    # to <1e-5, exact after the +0.5 truncation), which also deletes
+    # the per-channel object/ground merge selects.
+    _pg = os.environ.get("DTOWN_PACKED_GROUND", "1") != "0"
+    packed_g = static_cam and not dr and not grayscale and _pg
+    luma_g = static_cam and not dr and grayscale and _pg
+    B0 = 0.94  # variant-0 brightness
+
+    def _q8s(c, bright=B0):
+        return max(0, min(255, int(round(c * bright * shade * 255.0))))
+
+    def _pks(c3, bright=B0):
+        return ((_q8s(c3[0], bright) << 16) | (_q8s(c3[1], bright) << 8)
+                | _q8s(c3[2], bright))
+
+    def _lum(c3):
+        return 0.299 * c3[0] + 0.587 * c3[1] + 0.114 * c3[2]
+
+    road_present = any(
+        kk in present for kk in range(T.TILE_STRAIGHT, T.TILE_ASPHALT + 1))
+    marking_present = any(
+        kk in present for kk in range(T.TILE_STRAIGHT, T.TILE_4WAY + 1))
+    # noise amplitudes folded with shade*255 (packed) or shade (luma)
+    AMP_GRASS, AMP_OTHER = 0.03, 0.015
+
+    # Word select chain, run-compressed: identical consecutive words
+    # collapse to range compares and the most common word becomes the
+    # chain default (no compare at all) — large grass fields and stacked
+    # maps shrink from 2 ops/word to a handful of range tests. Indices
+    # outside the emitted set (including out-of-grid tids, whose clips
+    # this made droppable) fall through to the default, and the in_grid
+    # select masks them from the output.
+    from collections import Counter
+
+    _mode_word = Counter(words).most_common(1)[0][0]
+    _word_runs = {}  # value -> [(start, end)] index runs, value != mode
+    _i = 0
+    while _i < len(words):
+        _j = _i
+        while _j + 1 < len(words) and words[_j + 1] == words[_i]:
+            _j += 1
+        if words[_i] != _mode_word:
+            _word_runs.setdefault(words[_i], []).append((_i, _j))
+        _i = _j + 1
+
+    def _word_chain(widx):
+        word = jnp.full_like(widx, _mode_word)
+        for val, runs in _word_runs.items():
+            mask = None
+            for a, b in runs:
+                m = (widx == a) if a == b else ((widx >= a) & (widx <= b))
+                mask = m if mask is None else (mask | m)
+            word = jnp.where(mask, val, word)
+        return word
     # Output clamp eliminable when every contribution is provably in
     # [0, 1]: ground via the shade-bound assert in pallas_raster (import
     # time), objects because the nominal light is unit-norm (diffuse
@@ -548,6 +632,16 @@ def _make_blob_kernel(H, W, plan, epb, grayscale=False, s_blk=None,
         for ob in plan["objs"] for pr_ in ob["prims"] for c in pr_["color"]
     ) and all(0.0 <= c <= 1.0
               for c in tuple(plan["ground"]) + tuple(plan["horizon"]))
+    if not dr:
+        # the <=1 shade-bound proof behind no_clamp AND the packed
+        # -ground decode requires a unit light (diffuse <= 1 so
+        # sh = amb + kd*diffuse <= 1); assert it HERE so a change in
+        # plan construction fails loudly instead of wrapping the u8
+        # output (advisor r3)
+        _ln = math.sqrt(sum(c * c for c in plan["light"]))
+        assert abs(_ln - 1.0) < 1e-6 and plan["shade"] <= 1.0, (
+            "no_clamp/packed-ground require a unit-norm light and "
+            "shade <= 1", _ln, plan["shade"])
 
     def kernel(blob_ref, *refs):
         # blob_ref: transposed blob rows [epb, NF]
@@ -567,7 +661,12 @@ def _make_blob_kernel(H, W, plan, epb, grayscale=False, s_blk=None,
             E_p = rays_ref[3]
             F_p = rays_ref[4]
             gmask_p = D_p < -1e-6
-            skyf_p = 1.0 - 0.35 * jnp.maximum(0.0, D_p)
+            if packed_g:
+                sky_pk_p = rays_ref[5].astype(jnp.int32)
+            elif luma_g:
+                sky_l_p = rays_ref[5]
+            else:
+                skyf_p = 1.0 - 0.35 * jnp.maximum(0.0, D_p)
         elif fisheye:
             # distortion baked into the ray table: per-pixel NDC factors
             # from the Newton-inverted plumb-bob model (this row block)
@@ -670,44 +769,105 @@ def _make_blob_kernel(H, W, plan, epb, grayscale=False, s_blk=None,
             in_grid = (
                 (ti >= 0) & (ti < Wg) & (tj >= 0) & (tj < Hg) & hits_ground
             )
-            ii = jnp.clip(ti.astype(jnp.int32), 0, Wg - 1)
-            jj = jnp.clip(tj.astype(jnp.int32), 0, Hg - 1)
-            tid = jj * Wg + ii
+            # no clips: an out-of-grid tid misses every run in the word
+            # chain (falls through to the default word) and the pixel is
+            # overridden by the in_grid/sky selects regardless
+            tid = tj.astype(jnp.int32) * Wg + ti.astype(jnp.int32)
             widx = tid >> 2
             if multi:
                 widx = mid_i * npw_m + widx
-            word = jnp.zeros_like(widx)
-            for w in range(n_words):
-                if words[w] == 0:
-                    continue  # all-empty word: zeros_like already covers it
-                word = jnp.where(widx == w, words[w], word)
-            byte = (word >> ((tid & 3) * 8)) & 0xFF
+            word = _word_chain(widx)
+            byte = (word >> ((tid & 3) << 3)) & 0xFF
             kind = byte & 0xF
             angle_idx = (byte >> 4) & 0x3
-            if dr:
-                # per-env texture variant re-pick, shared hash with the
-                # XLA reset (randomization.variant_hash)
-                from dtown.randomization import variant_hash
-
-                variant = variant_hash(tid, seed_e)
+            if packed_g or luma_g:
+                yellow, white, is_road, is_grass, is_floor, bu_, bv_ = \
+                    _tile_masks(kind, angle_idx, fx - ti, fz - tj,
+                                present=present)
+                # achromatic noise term (variant 0); amp select skips
+                # absent kinds
+                nrm = _noise_h16f(bu_, bv_, kind, 0) * (1.0 / 32768.0) \
+                    - 1.0
+                nsc = 255.0 if packed_g else 1.0
+                ampv = AMP_OTHER * shade * nsc
+                if T.TILE_GRASS in present:
+                    ampv = jnp.where(is_grass, AMP_GRASS * shade * nsc,
+                                     ampv)
+                if road_present:
+                    ampv = jnp.where(is_road, NOISE_AMP * shade * nsc,
+                                     ampv)
+            if packed_g:
+                # packed-u8 ground: one int plane instead of three floats
+                base = [(T.TILE_FLOOR, is_floor, FLOOR),
+                        (T.TILE_GRASS, is_grass, GRASS)]
+                sels = [(m, _pks(c3)) for kk, m, c3 in base
+                        if kk in present]
+                if road_present:
+                    sels.append((is_road, _pks(ASPHALT)))
+                if T.TILE_EMPTY in present or not sels:
+                    col = jnp.full_like(kind, _pks(EMPTY))
+                else:
+                    col = jnp.full_like(kind, sels[0][1])
+                    sels = sels[1:]
+                for m, pkv in sels:
+                    col = jnp.where(m, pkv, col)
+                if marking_present:
+                    col = jnp.where(yellow, _pks(YELLOW), col)
+                    col = jnp.where(white, _pks(WHITE), col)
+                ni = (nrm * ampv).astype(jnp.int32)
+                col = col + ni + (ni << 8) + (ni << 16)
+                col = jnp.where(in_grid, col, _pks((gr, gg, gb), 1.0))
+                col = jnp.where(gmask_p, col, sky_pk_p)
+            elif luma_g:
+                # luma-constant ground: base colors collapse to scalar
+                # luma constants (no RGB materialization at all)
+                base = [(T.TILE_FLOOR, is_floor, FLOOR),
+                        (T.TILE_GRASS, is_grass, GRASS)]
+                sels = [(m, _lum(c3) * B0 * shade) for kk, m, c3 in base
+                        if kk in present]
+                if road_present:
+                    sels.append((is_road, _lum(ASPHALT) * B0 * shade))
+                if T.TILE_EMPTY in present or not sels:
+                    l_ = jnp.full_like(fx, _lum(EMPTY) * B0 * shade)
+                else:
+                    l_ = jnp.full_like(fx, sels[0][1])
+                    sels = sels[1:]
+                for m, lv in sels:
+                    l_ = jnp.where(m, lv, l_)
+                if marking_present:
+                    l_ = jnp.where(yellow, _lum(YELLOW) * B0 * shade, l_)
+                    l_ = jnp.where(white, _lum(WHITE) * B0 * shade, l_)
+                l_ = l_ + nrm * ampv
+                l_ = jnp.where(in_grid, l_, _lum((gr, gg, gb)) * shade)
+                l_ = jnp.where(gmask_p, l_, sky_l_p)
             else:
-                # compile-time variant 0: variant math folds to constants
-                variant = 0
-            r_, g_, b_ = _shade_pixels(kind, angle_idx, variant, fx - ti,
-                                       fz - tj, present=present)
-            r_ = jnp.where(in_grid, r_, gr_e) * shade_e
-            g_ = jnp.where(in_grid, g_, gg_e) * shade_e
-            b_ = jnp.where(in_grid, b_, gb_e) * shade_e
-            sky_f = skyf_p if static_cam \
-                else 1.0 - 0.35 * jnp.maximum(0.0, dy)
-            r_ = jnp.where(hits_ground, r_, hr_e * sky_f)
-            g_ = jnp.where(hits_ground, g_, hg_e * sky_f)
-            b_ = jnp.where(hits_ground, b_, hb_e * sky_f)
-            if grayscale:
-                # collapse to a single luma plane BEFORE the object pass
-                # (luma is linear, so shading/select commute with it);
-                # every per-prim color update then touches one plane
-                l_ = 0.299 * r_ + 0.587 * g_ + 0.114 * b_
+                if dr:
+                    # per-env texture variant re-pick, shared hash with
+                    # the XLA reset (randomization.variant_hash)
+                    from dtown.randomization import variant_hash
+
+                    variant = variant_hash(tid, seed_e)
+                else:
+                    # compile-time variant 0: variant math folds to
+                    # constants
+                    variant = 0
+                r_, g_, b_ = _shade_pixels(kind, angle_idx, variant,
+                                           fx - ti, fz - tj,
+                                           present=present)
+                r_ = jnp.where(in_grid, r_, gr_e) * shade_e
+                g_ = jnp.where(in_grid, g_, gg_e) * shade_e
+                b_ = jnp.where(in_grid, b_, gb_e) * shade_e
+                sky_f = skyf_p if static_cam \
+                    else 1.0 - 0.35 * jnp.maximum(0.0, dy)
+                r_ = jnp.where(hits_ground, r_, hr_e * sky_f)
+                g_ = jnp.where(hits_ground, g_, hg_e * sky_f)
+                b_ = jnp.where(hits_ground, b_, hb_e * sky_f)
+                if grayscale:
+                    # collapse to a single luma plane BEFORE the object
+                    # pass (luma is linear, so shading/select commute
+                    # with it); every per-prim color update then touches
+                    # one plane
+                    l_ = 0.299 * r_ + 0.587 * g_ + 0.114 * b_
 
             t_best = jnp.where(hits_ground, t_g, jnp.float32(1e30))
             if plan["objs"]:
@@ -733,6 +893,14 @@ def _make_blob_kernel(H, W, plan, epb, grayscale=False, s_blk=None,
 
             if grayscale:
                 carry = (l_, t_best)
+            elif packed_g:
+                # the packed ground/sky plane IS the carry: its bytes
+                # are final u8 values, and dv_=1 makes the decode
+                # shading amb + kd*1 == 1 (exact after +0.5 trunc), so
+                # no object/ground merge select is needed at all
+                pk_ = col
+                dv_ = jnp.ones((s_blk, LANE_N), f32)
+                carry = (pk_, dv_, t_best)
             else:
                 # RGB object pass carries ONE packed-color int plane
                 # (0xRRGGBB, -1 = no object) + a RAW-diffuse plane
@@ -1067,7 +1235,9 @@ def _make_blob_kernel(H, W, plan, epb, grayscale=False, s_blk=None,
                 l_, t_best = carry
             else:
                 pk_, dv_, t_best = carry
-                if plan["objs"]:
+                if packed_g:
+                    pass  # decoded at output below (bytes are final u8)
+                elif plan["objs"]:
                     # one-time decode: unpack the winner's 8-bit color
                     # and apply its shading (deferred: the loop carries
                     # the raw diffuse dot) where any prim won
@@ -1090,6 +1260,25 @@ def _make_blob_kernel(H, W, plan, epb, grayscale=False, s_blk=None,
 
             if grayscale:
                 out_ref[e, 0] = to_u8(l_)
+            elif packed_g:
+                if plan["objs"]:
+                    # unified decode: object pixels get byte*shn (raw
+                    # diffuse deferred as usual), ground/sky pixels ride
+                    # through with dv_=1 -> shn==1, i.e. byte unchanged
+                    shn = amb_e + kd_e * jnp.maximum(0.0, dv_)
+                    out_ref[e, 0] = (((pk_ >> 16) & 255).astype(f32)
+                                     * shn + 0.5).astype(jnp.int32) \
+                        .astype(jnp.uint8)
+                    out_ref[e, 1] = (((pk_ >> 8) & 255).astype(f32)
+                                     * shn + 0.5).astype(jnp.int32) \
+                        .astype(jnp.uint8)
+                    out_ref[e, 2] = ((pk_ & 255).astype(f32)
+                                     * shn + 0.5).astype(jnp.int32) \
+                        .astype(jnp.uint8)
+                else:
+                    out_ref[e, 0] = ((pk_ >> 16) & 255).astype(jnp.uint8)
+                    out_ref[e, 1] = ((pk_ >> 8) & 255).astype(jnp.uint8)
+                    out_ref[e, 2] = (pk_ & 255).astype(jnp.uint8)
             else:
                 out_ref[e, 0] = to_u8(r_)
                 out_ref[e, 1] = to_u8(g_)
@@ -1138,10 +1327,15 @@ def render_frames_from_blob(cfg, maps, blob, plan, epb=None,
             if S % cand == 0:
                 s_blk = cand
                 break
+    # row-block sweep override (640x480 probe): any divisor of S
+    _sb = int(os.environ.get("DTOWN_SBLK", "0"))
+    if _sb and S % _sb == 0:
+        s_blk = _sb
     fisheye = bool(cfg.distortion)
     static_cam = (not plan["domain_rand"]
                   and os.environ.get("DTOWN_STATIC_RAYS", "1") != "0")
-    rays = (_static_ray_planes(H, W, plan, fisheye) if static_cam
+    rays = (_static_ray_planes(H, W, plan, fisheye,
+                               grayscale=cfg.grayscale) if static_cam
             else None)
     kernel = _make_blob_kernel(H, W, plan, epb, grayscale=cfg.grayscale,
                                s_blk=s_blk, fisheye=fisheye, rays=rays)
@@ -1151,7 +1345,7 @@ def render_frames_from_blob(cfg, maps, blob, plan, epb=None,
                                  memory_space=pltpu.VMEM)]
         ndc_spec = pl.BlockSpec((2, S, LANE_N), lambda b: (0, 0, 0),
                                 memory_space=pltpu.VMEM)
-        rays_spec = pl.BlockSpec((5, S, LANE_N), lambda b: (0, 0, 0),
+        rays_spec = pl.BlockSpec((6, S, LANE_N), lambda b: (0, 0, 0),
                                  memory_space=pltpu.VMEM)
         out_spec = pl.BlockSpec((epb, C, S, LANE_N),
                                 lambda b: (b, 0, 0, 0),
@@ -1163,7 +1357,7 @@ def render_frames_from_blob(cfg, maps, blob, plan, epb=None,
         ndc_spec = pl.BlockSpec((2, s_blk, LANE_N),
                                 lambda b, sb: (0, sb, 0),
                                 memory_space=pltpu.VMEM)
-        rays_spec = pl.BlockSpec((5, s_blk, LANE_N),
+        rays_spec = pl.BlockSpec((6, s_blk, LANE_N),
                                  lambda b, sb: (0, sb, 0),
                                  memory_space=pltpu.VMEM)
         out_spec = pl.BlockSpec((epb, C, s_blk, LANE_N),

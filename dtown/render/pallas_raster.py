@@ -73,25 +73,29 @@ assert max(max(c) for c in (YELLOW, WHITE, ASPHALT, GRASS, FLOOR, EMPTY)) \
     * 1.06 + _MAX_AMP <= 1.0, "shade_tile clip is no longer a no-op"
 assert min(min(c) for c in (YELLOW, WHITE, ASPHALT, GRASS, FLOOR, EMPTY)) \
     * 0.94 - _MAX_AMP >= 0.0, "shade_tile clip is no longer a no-op"
+# The packed-ground path (blob_raster) adds quantized integer noise to
+# the three u8 bytes of one packed color word; per-byte arithmetic is
+# carry/borrow-free only while every byte + noise stays in [0, 255].
+# The float bounds above guarantee [0, 1] pre-quantization; a >=2-LSB
+# margin absorbs the independent rounding of color and noise.
+assert min(min(c) for c in (YELLOW, WHITE, ASPHALT, GRASS, FLOOR, EMPTY)) \
+    * 0.94 - _MAX_AMP >= 2.0 / 255.0, "packed-ground byte borrow margin"
 
 
-def _shade_pixels(kind, angle_idx, variant, u, v, present=None):
-    """Kernel-safe port of shading.shade_tile (no arctan2, no tables).
+def _tile_masks(kind, angle_idx, u, v, present=None):
+    """Marking/base-kind masks in base orientation, shared by the float
+    (_shade_pixels), packed-u8 and luma-constant ground shaders.
 
+    Returns (yellow, white, is_road, is_grass, is_floor, bu, bv).
     present: optional set of tile-kind ids present in the map — marking
-    math for absent kinds is statically dropped (the map is a compile-time
-    constant of the kernel).
-    variant may be a python int (texture variant fixed at compile time —
-    the no-domain-rand fast path always uses variant 0): the per-pixel
-    variant extraction and brightness scale then fold into constants.
+    math for absent kinds is statically dropped (the map is a
+    compile-time constant of the kernel).
 
-    Differences from shade_tile, covered by the blob-vs-XLA tolerance:
-    the arc dash phase uses the linear |dz|-|dx| angle proxy (exact at
-    the arc endpoints and midpoint, <=4%-of-period off between — the
-    XLA path keeps arctan2), and the output clip is dropped (no-op by
-    the import-time bound assert above).
+    Difference from shading.shade_tile, covered by the blob-vs-XLA
+    tolerance: the arc dash phase uses the linear |dz|-|dx| angle proxy
+    (exact at the arc endpoints and midpoint, <=4%-of-period off
+    between — the XLA path keeps arctan2).
     """
-    f32 = jnp.float32
     if present is None:
         present = set(range(16))
     have = lambda k_: k_ in present
@@ -179,6 +183,50 @@ def _shade_pixels(kind, angle_idx, variant, u, v, present=None):
 
     is_grass = k == K.TILE_GRASS
     is_floor = k == K.TILE_FLOOR
+    return yellow, white, is_road, is_grass, is_floor, bu, bv
+
+
+def _noise_h16f(bu, bv, kind, variant):
+    """Hash-noise low 16 bits as f32 in [0, 65536): the shared front of
+    shading._hash_noise (n = h16f/32768 - 1). bu/bv are in [0, 1] by
+    construction (exact +-1/0 rotation of centered [-.5, .5) offsets),
+    so only the upper lattice clamp can ever bind."""
+    f32 = jnp.float32
+    tx = jnp.minimum((bu * NOISE_CELLS).astype(jnp.int32), NOISE_CELLS - 1)
+    ty = jnp.minimum((bv * NOISE_CELLS).astype(jnp.int32), NOISE_CELLS - 1)
+    # multiply-free Jenkins-style mix, identical to shading._hash_noise
+    # (int32 multiplies are emulated multi-op on the VPU: the earlier
+    # 5-multiply hash cost the ground pass 11%, measured r4)
+    # seed = variant + 7*kind, with the small-constant multiply written
+    # as shift-sub (int32 multiplies are the expensive op being removed)
+    h = tx | (ty << 7) | ((variant + ((kind << 3) - kind)) << 14)
+    h = h + (h << 10)
+    h = h ^ (h >> 6)
+    h = h + (h << 3)
+    h = h ^ (h >> 11)
+    h = h + (h << 15)
+    h = h ^ (h >> 7)
+    return (h & 0xFFFF).astype(f32)
+
+
+def _shade_pixels(kind, angle_idx, variant, u, v, present=None):
+    """Kernel-safe port of shading.shade_tile (no arctan2, no tables).
+
+    present: optional set of tile-kind ids present in the map — marking
+    math for absent kinds is statically dropped (the map is a compile-time
+    constant of the kernel).
+    variant may be a python int (texture variant fixed at compile time —
+    the no-domain-rand fast path always uses variant 0): the per-pixel
+    variant extraction and brightness scale then fold into constants.
+
+    Differences from shade_tile, covered by the blob-vs-XLA tolerance:
+    the arc dash phase uses the linear |dz|-|dx| angle proxy (see
+    _tile_masks), and the output clip is dropped (no-op by the
+    import-time bound assert above).
+    """
+    f32 = jnp.float32
+    yellow, white, is_road, is_grass, is_floor, bu, bv = _tile_masks(
+        kind, angle_idx, u, v, present)
 
     def chan(ci):
         base = jnp.where(
@@ -191,16 +239,8 @@ def _shade_pixels(kind, angle_idx, variant, u, v, present=None):
 
     r_, g_, b_ = chan(0), chan(1), chan(2)
 
-    # integer-hash noise (same as shading._hash_noise). bu/bv are in
-    # [0, 1] by construction (exact +-1/0 rotation of centered [−.5, .5)
-    # offsets), so only the upper clamp can ever bind
-    tx = jnp.minimum((bu * NOISE_CELLS).astype(jnp.int32), NOISE_CELLS - 1)
-    ty = jnp.minimum((bv * NOISE_CELLS).astype(jnp.int32), NOISE_CELLS - 1)
-    seed = variant + 7 * kind
-    h = (tx * 73856093 + ty * 19349663 + seed * 83492791) & 0x7FFFFFFF
-    h = (h ^ (h >> 13)) * 1274126177 & 0x7FFFFFFF
-    h = h ^ (h >> 16)
-    n = (h & 0xFFFF).astype(f32) / 32768.0 - 1.0
+    # integer-hash noise (same as shading._hash_noise)
+    n = _noise_h16f(bu, bv, kind, variant) / 32768.0 - 1.0
     amp = jnp.where(is_grass, 0.03, jnp.where(is_road, NOISE_AMP, 0.015))
     if isinstance(variant, int):
         bright = 0.94 + 0.04 * variant

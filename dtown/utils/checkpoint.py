@@ -42,6 +42,14 @@ def save_atomic(path: str, state_pytree, keep: int = 2):
     if cur is not None:
         m = re.match(r"s(\d+)$", cur)
         seq = int(m.group(1)) + 1 if m else 1
+    # A lost/corrupt LATEST must not restart numbering below surviving
+    # slots: slots() orders by sequence number, so a new s000000 under
+    # older s000007+ would invert rotation and pruning (advisor r3).
+    # Seed from the highest existing slot instead.
+    existing = [int(os.path.basename(d)[1:]) for d in slots(base)
+                if re.match(r"s(\d+)$", os.path.basename(d))]
+    if existing:
+        seq = max(seq, max(existing) + 1)
     nxt = "s%06d" % seq
     save(os.path.join(base, nxt), state_pytree)
     tmp = os.path.join(base, "LATEST.tmp")
