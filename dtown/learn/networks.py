@@ -38,14 +38,32 @@ class ConvTrunk(nn.Module):
 
 
 class ActorCritic(nn.Module):
-    """Gaussian policy over the 2-d action + value head."""
+    """Gaussian policy over the 2-d action + value head.
+
+    obs may be a single array (image or state vector) or a tuple
+    (image, vec): the vector side-channel (e.g. the three agent-frame
+    Nav goal features, ops/fused_env.nav_goal_features_from_blob) is
+    embedded and concatenated after the conv flatten — goal-conditioned
+    camera policies, which the pixels alone cannot express (the goal
+    tile is not visually marked).
+    """
 
     action_dim: int = 2
     trunk: str = "nature"
 
     @nn.compact
     def __call__(self, obs):
-        h = make_trunk(self.trunk)(obs)
+        if isinstance(obs, (tuple, list)):
+            x, vec = obs
+            h = make_trunk(self.trunk)(x)
+            g = nn.Dense(64, dtype=jnp.bfloat16)(
+                vec.astype(jnp.bfloat16))
+            g = nn.relu(g)
+            h = jnp.concatenate([h, g], axis=-1)
+            h = nn.Dense(256, dtype=jnp.bfloat16)(h)
+            h = nn.relu(h)
+        else:
+            h = make_trunk(self.trunk)(obs)
         mean = nn.Dense(self.action_dim, dtype=jnp.float32,
                         kernel_init=nn.initializers.orthogonal(0.01))(
             h.astype(jnp.float32)

@@ -275,6 +275,9 @@ def _make_ppo_fused(cfg, maps, num_envs, ppo, net, tx, nav=False,
 
     def obs_from(blob, obs_raw):
         if cfg.obs_type == "rgb":
+            if isinstance(obs_raw, tuple):
+                # goal-conditioned camera obs: (planes, goal_vec)
+                return (planes_to_nhwc(cfg, obs_raw[0]), obs_raw[1])
             return planes_to_nhwc(cfg, obs_raw)
         return obs_raw
 
@@ -286,13 +289,14 @@ def _make_ppo_fused(cfg, maps, num_envs, ppo, net, tx, nav=False,
         if nav and goal_in_obs:
             # obs_from_blob is task-agnostic; append the goal features
             # the nav fused_step emits so obs0 matches rollout obs
-            obs0 = jnp.concatenate(
-                [obs0,
-                 jnp.stack(nav_goal_features_from_blob(cfg, maps, blob),
-                           axis=-1)],
-                axis=-1,
-            )
-        params = net.init(k_net, obs0[:2])
+            gfeat = jnp.stack(
+                nav_goal_features_from_blob(cfg, maps, blob), axis=-1)
+            if cfg.obs_type == "rgb":
+                obs0 = (obs0, gfeat)
+            else:
+                obs0 = jnp.concatenate([obs0, gfeat], axis=-1)
+        params = net.init(
+            k_net, jax.tree_util.tree_map(lambda a: a[:2], obs0))
         return TrainState(params, tx.init(params), (blob, obs0), k_carry)
 
     def policy_sample(params, obs, key):
@@ -346,7 +350,10 @@ def _make_ppo_fused(cfg, maps, num_envs, ppo, net, tx, nav=False,
         # clipped-surrogate update (shared math with the XLA path)
         T_, B_ = traj["reward"].shape
         flat = {
-            "obs": traj["obs"].reshape((T_ * B_,) + traj["obs"].shape[2:]),
+            # tree_map: obs may be a (image, goal_vec) tuple
+            "obs": jax.tree_util.tree_map(
+                lambda a: a.reshape((T_ * B_,) + a.shape[2:]),
+                traj["obs"]),
             "action": traj["action"].reshape(T_ * B_, -1),
             "logp": traj["logp"].reshape(T_ * B_),
             "adv": advantages.reshape(T_ * B_),
@@ -380,7 +387,7 @@ def _make_ppo_fused(cfg, maps, num_envs, ppo, net, tx, nav=False,
             def minibatch(carry, m):
                 params, opt_state = carry
                 idx = jax.lax.dynamic_slice_in_dim(perm, m * mb, mb)
-                batch = {k: v[idx] for k, v in flat.items()}
+                batch = jax.tree_util.tree_map(lambda v: v[idx], flat)
                 loss, grads = jax.value_and_grad(loss_fn)(params, batch)
                 if axis_name is not None:
                     grads = jax.lax.pmean(grads, axis_name)

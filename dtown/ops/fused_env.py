@@ -486,13 +486,15 @@ def make_fused_nav_rollout(cfg: EnvConfig, maps, num_envs: int,
     observations); goal_in_obs appends the agent-frame goal offset
     (tasks.goal_features semantics: forward, right, distance) computed
     straight from the blob goal/pose rows — three scalar ops, no lane
-    query, so the learnable form keeps the full fused speedup.
+    query, so the learnable form keeps the full fused speedup. Under
+    obs_type='state' the features extend the state vector (11 -> 14
+    columns); under camera observations (the reference's obs modality,
+    where the goal tile has no visual marker) fused_step returns a
+    TUPLE (planes, goal_vec[B, 3]) consumed by the learner's
+    vector side-channel (learn/networks.ActorCritic).
     """
     from dtown import env as env_core
     from dtown.tasks import _draw_goal
-
-    if goal_in_obs and cfg.obs_type != "state":
-        raise ValueError("goal_in_obs requires obs_type='state'")
     if num_envs % 8 != 0:
         raise ValueError(
             f"the fused kernel path requires num_envs divisible by 8 (TPU "
@@ -529,6 +531,10 @@ def make_fused_nav_rollout(cfg: EnvConfig, maps, num_envs: int,
         if cfg.obs_type == "rgb":
             obs = render_rgb_from_blob(cfg, maps, blob, states_template,
                                        render_plan)
+            if goal_in_obs:
+                obs = (obs, jnp.stack(
+                    nav_goal_features_from_blob(cfg, maps, blob),
+                    axis=-1))
         else:
             inlane = blob[sk.F_OINLANE]
             cols = [

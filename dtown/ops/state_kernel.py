@@ -178,10 +178,20 @@ def _acos(x):
 
 
 def _hash_u32(a, b):
-    """Deterministic uint-ish hash of two int32 vectors -> positive int32."""
-    h = (a * 73856093 + b * 19349663) & 0x7FFFFFFF
-    h = ((h ^ (h >> 13)) * 1274126177) & 0x7FFFFFFF
-    return h ^ (h >> 16)
+    """Deterministic uint-ish hash of two int32 vectors -> positive int32.
+
+    Multiply-free Jenkins-style mix (int32 vector multiplies are
+    emulated multi-op on the VPU; same rounds as the render-side hashes,
+    r4). Only feeds in-kernel PRNG streams (post-reset spawn/DR/goal
+    draws), which are kernel-private by design — no XLA-side twin."""
+    h = (a ^ (b << 13)) + b
+    h = h + (h << 10)
+    h = h ^ (h >> 6)
+    h = h + (h << 3)
+    h = h ^ (h >> 11)
+    h = h + (h << 15)
+    h = h ^ (h >> 7)
+    return h & 0x7FFFFFFF
 
 
 def make_state_kernel(cfg, Hg, Wg, n_words, M, n_spawn_ok, bb=None,
@@ -262,17 +272,20 @@ def make_state_kernel(cfg, Hg, Wg, n_words, M, n_spawn_ok, bb=None,
         if nav:
             goal_i = row(navb + NAV_GI)
             goal_j = row(navb + NAV_GJ)
+            # pre-step pose for the goal-distance shaping extension
+            pos_x_pre, pos_z_pre = pos_x, pos_z
         if domain_rand:
             dr_rows = [row(drb + k) for k in range(DR_ROWS)]
 
             def _u01(tag):
                 """Per-(env, episode, tag) uniform in [0, 1) from the
                 integer-hash PRNG (threefry is too slow per step)."""
+                # stream separation by ADDED python-constant tags: the
+                # jen rounds in _hash_u32 do the mixing, so the old
+                # per-call vector multiplies (emulated multi-op) go
                 hv = _hash_u32(
-                    (rng_ctr.astype(jnp.int32) * 2654435 + tag * 7919 + 3)
-                    & 0x7FFFFFFF,
-                    (env_id.astype(jnp.int32) * 97 + tag * 131)
-                    & 0x7FFFFFFF,
+                    rng_ctr.astype(jnp.int32) + (tag * 7919 + 3),
+                    env_id.astype(jnp.int32) + tag * 131,
                 )
                 return (hv & 0xFFFF).astype(jnp.float32) / 65536.0
 
@@ -658,6 +671,16 @@ def make_state_kernel(cfg, Hg, Wg, n_words, M, n_spawn_ok, bb=None,
             g_fj = jnp.floor(pos_z * ts_inv)
             reached = (g_fi == goal_i) & (g_fj == goal_j) & ~done
             reward = jnp.where(reached, reward + C.NAV_GOAL_REWARD, reward)
+            if cfg.nav_shaping_coef:
+                # potential-based goal-distance shaping (EXTENSION,
+                # EnvConfig.nav_shaping_coef; mirrors tasks.nav_step)
+                ts_k = 1.0 / ts_inv
+                gx = (goal_i + 0.5) * ts_k
+                gz = (goal_j + 0.5) * ts_k
+                d_prev = jnp.sqrt((gx - pos_x_pre) ** 2
+                                  + (gz - pos_z_pre) ** 2)
+                d_next = jnp.sqrt((gx - pos_x) ** 2 + (gz - pos_z) ** 2)
+                reward = reward + cfg.nav_shaping_coef * (d_prev - d_next)
             done = done | reached
 
         # ---- auto-reset from the spawn bank ---------------------------
@@ -667,7 +690,7 @@ def make_state_kernel(cfg, Hg, Wg, n_words, M, n_spawn_ok, bb=None,
         o_ldeg, o_inlane = lane_deg, in_lane_f
         if auto_reset:
             h = _hash_u32(
-                (rng_ctr.astype(jnp.int32) * 1664525) & 0x7FFFFFFF,
+                rng_ctr.astype(jnp.int32),
                 env_id.astype(jnp.int32),
             )
             if multi:
@@ -750,10 +773,8 @@ def make_state_kernel(cfg, Hg, Wg, n_words, M, n_spawn_ok, bb=None,
                     usum = jnp.zeros_like(pos_x)
                     for j in range(4):
                         hv = _hash_u32(
-                            (rng_ctr.astype(jnp.int32) * 69069 + 7 * j + 13)
-                            & 0x7FFFFFFF,
-                            (env_id.astype(jnp.int32) * 31 + i)
-                            & 0x7FFFFFFF,
+                            rng_ctr.astype(jnp.int32) + (7 * j + 13),
+                            env_id.astype(jnp.int32) + 131071 * i,
                         )
                         usum = usum + (hv & 0xFFFF).astype(f32) / 65536.0
                     nrm = (usum - 2.0) * 1.7320508  # ~N(0, 1)

@@ -72,6 +72,24 @@ def _scalar_sincos(x):
     return sincos(x)
 
 
+def _imul_const(x, c):
+    """x * c for a small compile-time int c as shifts/adds — int32
+    vector multiplies are emulated multi-op on the TPU VPU (measured r4:
+    swapping 5 hash multiplies saved 11% of the ground pass)."""
+    c = int(c)
+    assert c >= 0, c
+    if c == 0:
+        return jnp.zeros_like(x)
+    if (c + 1) & c == 0:  # c = 2^k - 1: shift-subtract form
+        return (x << c.bit_length()) - x
+    out = None
+    for i in range(32):
+        if (c >> i) & 1:
+            t = x if i == 0 else (x << i)
+            out = t if out is None else out + t
+    return out
+
+
 def pack_tile_words(kind, ang):
     """Pack flattened tile (kind, angle) grids into int32 words, 4 tiles
     per word: byte = kind | angle<<4, little-endian within the word.
@@ -772,7 +790,8 @@ def _make_blob_kernel(H, W, plan, epb, grayscale=False, s_blk=None,
             # no clips: an out-of-grid tid misses every run in the word
             # chain (falls through to the default word) and the pixel is
             # overridden by the in_grid/sky selects regardless
-            tid = tj.astype(jnp.int32) * Wg + ti.astype(jnp.int32)
+            tid = _imul_const(tj.astype(jnp.int32), Wg) \
+                + ti.astype(jnp.int32)
             widx = tid >> 2
             if multi:
                 widx = mid_i * npw_m + widx
@@ -890,6 +909,19 @@ def _make_blob_kernel(H, W, plan, epb, grayscale=False, s_blk=None,
                     # light needs a per-object model rotation, and
                     # diffuse = -(oc.lw + t*(d.lw))/R_world
                     dlw = dx * lwx_e + dy * lwy_e + dz * lwz_e
+                if any(pr_["is_box"] for ob_ in plan["objs"]
+                       for pr_ in ob_["prims"]):
+                    # y-slab reciprocal: dy is shared by every box
+                    # OBJECT, so its clamped reciprocal hoists out of
+                    # the object loop (the static-ray path bakes it as
+                    # the F plane; the dynamic/DR path was paying one
+                    # vector divide per box object)
+                    if static_cam:
+                        inv_dy_env = F_p
+                    else:
+                        inv_dy_env = 1.0 / jnp.where(
+                            jnp.abs(dy) < 1e-9,
+                            jnp.where(dy >= 0, 1e-9, -1e-9), dy)
 
             if grayscale:
                 carry = (l_, t_best)
@@ -992,10 +1024,10 @@ def _make_blob_kernel(H, W, plan, epb, grayscale=False, s_blk=None,
                                 jnp.where(dm >= 0, 1e-9, -1e-9), dm)
 
                         inv_dmx = safe_inv(dmx)
-                        # dy is a baked constant under static_cam: its
-                        # clamped reciprocal is the baked F plane, so
-                        # each box object saves a per-env vector divide
-                        inv_dmy = F_p if static_cam else safe_inv(dy)
+                        # y-slab reciprocal hoisted per env (baked F
+                        # plane under static rays, one shared divide on
+                        # the dynamic/DR path)
+                        inv_dmy = inv_dy_env
                         inv_dmz = safe_inv(dmz)
                         # axis-aligned diffuse weights, hoisted out of
                         # the prim loop (dm signs are per OBJECT):

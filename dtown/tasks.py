@@ -69,6 +69,16 @@ def nav_step(cfg: EnvConfig, maps: MapArrays, ns: NavState, action):
         (tile_i == ns.goal[0]) & (tile_j == ns.goal[1]) & ~out.done
     )
     reward = out.reward + jnp.where(reached, jnp.float32(GOAL_REWARD), 0.0)
+    if cfg.nav_shaping_coef:
+        # potential-based goal-distance shaping (EXTENSION knob, see
+        # EnvConfig.nav_shaping_coef; mirrored op-for-op in the fused
+        # state kernel's nav block)
+        gx = (ns.goal[0].astype(jnp.float32) + 0.5) * ts
+        gz = (ns.goal[1].astype(jnp.float32) + 0.5) * ts
+        d_prev = jnp.sqrt((gx - ns.env.pos[0]) ** 2
+                          + (gz - ns.env.pos[2]) ** 2)
+        d_next = jnp.sqrt((gx - st.pos[0]) ** 2 + (gz - st.pos[2]) ** 2)
+        reward = reward + cfg.nav_shaping_coef * (d_prev - d_next)
     done = out.done | reached
 
     rng, k_goal, k_respawn = jax.random.split(ns.rng, 3)
@@ -112,9 +122,10 @@ def make_nav_vec(cfg: EnvConfig, maps: MapArrays, num_envs: int,
                  goal_in_obs: bool = False):
     """Jitted, vmapped (reset, step) for the Nav task — the vectorized
     equivalent of gym_compat.DuckietownNav. goal_in_obs appends the
-    agent-frame goal offset (goal_features) to state observations."""
-    if goal_in_obs and cfg.obs_type != "state":
-        raise ValueError("goal_in_obs requires obs_type='state'")
+    agent-frame goal offset (goal_features) to state observations; for
+    image observations (where the goal tile has no visual marker) the
+    step returns obs as a TUPLE (image, goal_vec[B, 3]) for the
+    learner's vector side-channel (learn/networks.ActorCritic)."""
 
     @jax.jit
     def v_reset(key):
@@ -131,10 +142,11 @@ def make_nav_vec(cfg: EnvConfig, maps: MapArrays, num_envs: int,
         # when cfg selects it)
         obs = env_core.render_obs_batch(cfg, maps, ns.env)
         if goal_in_obs:
-            obs = jnp.concatenate(
-                [obs, jax.vmap(lambda s: goal_features(maps, s))(ns)],
-                axis=-1,
-            )
+            feats = jax.vmap(lambda s: goal_features(maps, s))(ns)
+            if cfg.obs_type == "state":
+                obs = jnp.concatenate([obs, feats], axis=-1)
+            else:
+                obs = (obs, feats)
         return ns, out.replace(obs=obs)
 
     return v_reset, v_step

@@ -156,6 +156,13 @@ class EnvConfig:
 
     # Reward
     collision_termination: bool = True
+    # Nav-task goal-distance shaping (EXTENSION, default off — the
+    # reference's DuckietownNav pays only the terminal goal bonus):
+    # potential-based term coef * (d_prev - d_next) on the euclidean
+    # goal distance each step, which preserves optimal policies (Ng et
+    # al. 1999) while giving the sparse goal a dense gradient. Applied
+    # identically by tasks.nav_step and the fused state kernel.
+    nav_shaping_coef: float = 0.0
 
     @property
     def delta_time(self) -> float:

@@ -104,6 +104,12 @@ def main():
     ap.add_argument("--trunk", default="nature", choices=["nature", "impala"])
     ap.add_argument("--renderer", default="pallas", choices=["xla", "pallas"])
     ap.add_argument("--domain-rand", action="store_true")
+    ap.add_argument("--nav", action="store_true",
+                    help="evaluate on the Nav task (tasks.nav_step): "
+                         "reports goal success rate and steps-to-goal")
+    ap.add_argument("--goal-in-obs", action="store_true",
+                    help="policy was trained goal-conditioned (state "
+                         "obs: +3 columns; rgb: (image, goal) tuple)")
     ap.add_argument("--stochastic", action="store_true",
                     help="sample actions instead of tanh(mean)")
     ap.add_argument("--seed", type=int, default=0)
@@ -143,26 +149,86 @@ def main():
             return jnp.tanh(mean + jnp.exp(log_std) * noise)
         return jnp.tanh(mean)
 
-    @jax.jit
-    def run(states, k):
-        def step_fn(carry, _):
-            st, kk = carry
-            kk, ka = jax.random.split(kk)
-            act = policy(obs_of(st), ka)
-            st, out, _ = jax.vmap(
-                lambda s, a: env_core.step_physics(cfg, maps, s, a)
-            )(st, act)
-            return (st, kk), (out.reward, out.done)
+    if args.nav:
+        from dtown import tasks
 
-        (_, _), (rew, done) = jax.lax.scan(
-            step_fn, (states, k), None, length=args.steps
-        )
-        return rew, done
+        def nav_states0(k):
+            keys_n = jax.random.split(k, args.envs)
+            return jax.vmap(
+                lambda kk, i: tasks.nav_reset(cfg, maps, kk, i)
+            )(keys_n, idx)
 
-    t0 = time.perf_counter()
-    rew, done = jax.block_until_ready(run(states0, k_act))
-    dt = time.perf_counter() - t0
-    stats = episode_stats(np.asarray(rew), np.asarray(done))
+        @jax.jit
+        def run_nav(k_env2, k):
+            ns = nav_states0(k_env2)
+
+            def step_fn(carry, _):
+                ns_, kk = carry
+                kk, ka = jax.random.split(kk)
+                obs = obs_of(ns_.env)
+                if args.goal_in_obs:
+                    feats = jax.vmap(
+                        lambda s: tasks.goal_features(maps, s))(ns_)
+                    obs = (jnp.concatenate([obs, feats], axis=-1)
+                           if cfg.obs_type == "state" else (obs, feats))
+                act = policy(obs, ka)
+                ns_, out = jax.vmap(
+                    lambda s, a: tasks.nav_step(cfg, maps, s, a)
+                )(ns_, act)
+                return (ns_, kk), (out.reward, out.done)
+
+            (_, _), (rew, done) = jax.lax.scan(
+                step_fn, (ns, k), None, length=args.steps
+            )
+            return rew, done
+
+        t0 = time.perf_counter()
+        rew, done = jax.block_until_ready(run_nav(k_env, k_act))
+        dt = time.perf_counter() - t0
+        rew_np, done_np = np.asarray(rew), np.asarray(done)
+        stats = episode_stats(rew_np, done_np)
+        # a goal step carries the +500 NAV_GOAL_REWARD (lane term O(1),
+        # crash -1000) so reward > 400 identifies it unambiguously
+        goal_steps = rew_np > 400.0
+        n_goals = int(goal_steps.sum())
+        n_eps = stats["episodes"] or 0
+        # steps-to-goal: length of each goal-terminated episode
+        ttg = []
+        for e in range(done_np.shape[1]):
+            n = 0
+            for t in range(done_np.shape[0]):
+                n += 1
+                if done_np[t, e]:
+                    if goal_steps[t, e]:
+                        ttg.append(n)
+                    n = 0
+        stats.update({
+            "goals_reached": n_goals,
+            "success_rate": (n_goals / n_eps) if n_eps else None,
+            "goal_steps_frac": float(goal_steps.mean()),
+            "mean_steps_to_goal": float(np.mean(ttg)) if ttg else None,
+        })
+    else:
+        @jax.jit
+        def run(states, k):
+            def step_fn(carry, _):
+                st, kk = carry
+                kk, ka = jax.random.split(kk)
+                act = policy(obs_of(st), ka)
+                st, out, _ = jax.vmap(
+                    lambda s, a: env_core.step_physics(cfg, maps, s, a)
+                )(st, act)
+                return (st, kk), (out.reward, out.done)
+
+            (_, _), (rew, done) = jax.lax.scan(
+                step_fn, (states, k), None, length=args.steps
+            )
+            return rew, done
+
+        t0 = time.perf_counter()
+        rew, done = jax.block_until_ready(run(states0, k_act))
+        dt = time.perf_counter() - t0
+        stats = episode_stats(np.asarray(rew), np.asarray(done))
     stats.update({
         "envs": args.envs, "steps": args.steps,
         "map": ",".join(names), "obs": args.obs,

@@ -77,6 +77,10 @@ def main():
     ap.add_argument("--nav", action="store_true",
                     help="Nav task (goal tiles, in-kernel bonus/done/"
                          "redraw) instead of lane following; fused only")
+    ap.add_argument("--nav-shaping", type=float, default=0.0,
+                    help="Nav goal-distance shaping coefficient "
+                         "(potential-based EXTENSION, default off; "
+                         "reference Nav pays only the terminal bonus)")
     ap.add_argument("--goal-in-obs", action="store_true",
                     help="append the agent-frame goal offset to state "
                          "observations (the learnable Nav form)")
@@ -91,6 +95,7 @@ def main():
     cfg = EnvConfig(
         obs_type=args.obs, camera_width=args.size, camera_height=args.size,
         domain_rand=args.domain_rand, renderer=args.renderer,
+        nav_shaping_coef=args.nav_shaping,
     )
     maps = (
         map_loader.stack_maps(args.map)

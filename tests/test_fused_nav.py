@@ -131,13 +131,78 @@ def test_fused_nav_goal_in_obs_matches_xla():
     assert np.abs(np.asarray(feats)).max() > 0.1
 
 
-def test_fused_nav_goal_in_obs_requires_state():
+def test_fused_nav_goal_in_obs_rgb_tuple():
+    """Camera-obs goal conditioning (r4): fused_step returns a
+    (planes, goal_vec) tuple and the goal features match the blob."""
     cfg = EnvConfig(obs_type="rgb", camera_width=64, camera_height=64)
     maps = map_loader.load_map("small_loop")
-    import pytest
+    init_nav, step_nav = fused_env.make_fused_nav_rollout(
+        cfg, maps, 8, goal_in_obs=True)
+    blob, states = init_nav(jax.random.PRNGKey(5))
+    tmpl = fused_env.template_states(cfg, maps, 8)
+    act = jnp.tile(jnp.array([[0.4, 0.1]], jnp.float32), (8, 1))
+    blob2, out, obs = step_nav(blob, tmpl, act)
+    assert isinstance(obs, tuple) and len(obs) == 2
+    planes, feats = obs
+    assert planes.shape == (8, 3, 64 * 64 // 128, 128)
+    assert planes.dtype == jnp.uint8
+    assert feats.shape == (8, 3)
+    ref = jnp.stack(
+        fused_env.nav_goal_features_from_blob(cfg, maps, blob2), axis=-1)
+    np.testing.assert_array_equal(np.asarray(feats), np.asarray(ref))
 
-    with pytest.raises(ValueError):
-        fused_env.make_fused_nav_rollout(cfg, maps, 8, goal_in_obs=True)
+
+def test_nav_shaping_parity_fused_vs_xla():
+    """nav_shaping_coef (EXTENSION): the in-kernel potential-based term
+    must match tasks.nav_step's to fp tolerance, and shaping toward the
+    goal must be positive when driving at it."""
+    from dtown.tasks import NavState, nav_step
+
+    cfg, maps = _mk(nav_shaping_coef=2.0)
+    init_nav, step_nav = fused_env.make_fused_nav_rollout(cfg, maps, 16)
+    blob, states = init_nav(jax.random.PRNGKey(6))
+    goals = jnp.tile(jnp.array([[2, 0]], jnp.int32), (16, 1))
+    blob = _set_goals(blob, maps, goals)
+    tmpl = fused_env.template_states(cfg, maps, 16)
+    act = jnp.tile(jnp.array([[0.5, 0.0]], jnp.float32), (16, 1))
+    blob2, out_f, _ = step_nav(blob, tmpl, act)
+
+    base_cfg_na = EnvConfig(obs_type="state", nav_shaping_coef=2.0,
+                            auto_reset=False)
+    ns = NavState(env=states, goal=goals,
+                  rng=jax.random.split(jax.random.PRNGKey(0), 16))
+    ns2, out_x = jax.vmap(
+        lambda s, a: nav_step(base_cfg_na, maps, s, a))(ns, act)
+    np.testing.assert_allclose(np.asarray(out_f.reward),
+                               np.asarray(out_x.reward),
+                               rtol=1e-4, atol=1e-4)
+    # shaping differs from the unshaped reward on at least some envs
+    cfg0, _ = _mk()
+    init0, step0 = fused_env.make_fused_nav_rollout(cfg0, maps, 16)
+    blob0, _ = init0(jax.random.PRNGKey(6))
+    blob0 = _set_goals(blob0, maps, goals)
+    _, out_0, _ = step0(blob0, tmpl, act)
+    assert np.abs(np.asarray(out_f.reward)
+                  - np.asarray(out_0.reward)).max() > 1e-4
+
+
+def test_fused_nav_ppo_rgb_goal_conditioned_trains():
+    """Goal-conditioned CAMERA Nav PPO (r4): tuple obs threads through
+    rollout storage, minibatching and the conv trunk's vector
+    side-channel; one train step produces finite metrics."""
+    from dtown.learn.ppo import PPOConfig, make_ppo
+
+    cfg = EnvConfig(obs_type="rgb", camera_width=64, camera_height=64)
+    maps = map_loader.load_map("small_loop")
+    init, train = make_ppo(cfg, maps, 8,
+                           PPOConfig(rollout_len=2, epochs=1,
+                                     minibatches=2),
+                           fused=True, nav=True, goal_in_obs=True)
+    ts = init(jax.random.PRNGKey(0))
+    img0, feat0 = ts.env_states[1]
+    assert img0.shape == (8, 64, 64, 3) and feat0.shape == (8, 3)
+    ts, metrics = jax.jit(lambda t: train(t))(ts)
+    assert all(np.isfinite(float(v)) for v in metrics.values())
 
 
 def test_fused_nav_ppo_goal_conditioned_trains():
