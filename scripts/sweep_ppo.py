@@ -64,6 +64,10 @@ def main():
     ap.add_argument("--lrs", default="3e-4,1e-3")
     ap.add_argument("--ents", default="0.01,0.003")
     ap.add_argument("--epochs", default="2,4")
+    ap.add_argument("--minibatches", default="4")
+    ap.add_argument("--seeds", default=None,
+                    help="comma list of seeds (overrides --seed; results "
+                         "are printed per seed AND averaged)")
     args = ap.parse_args()
 
     cfg = EnvConfig(obs_type="state")
@@ -72,12 +76,25 @@ def main():
         [float(x) for x in args.lrs.split(",")],
         [float(x) for x in args.ents.split(",")],
         [int(x) for x in args.epochs.split(",")],
+        [int(x) for x in args.minibatches.split(",")],
     ))
-    for lr, ent, ep in grid:
-        res = run_one(cfg, maps, args.envs, args.iters, args.rollout,
-                      args.seed, lr=lr, ent_coef=ent, epochs=ep)
-        print(json.dumps({"lr": lr, "ent_coef": ent, "epochs": ep, **res}),
-              flush=True)
+    seeds = ([int(x) for x in args.seeds.split(",")] if args.seeds
+             else [args.seed])
+    for lr, ent, ep, mb in grid:
+        tails = []
+        for sd in seeds:
+            res = run_one(cfg, maps, args.envs, args.iters, args.rollout,
+                          sd, lr=lr, ent_coef=ent, epochs=ep,
+                          minibatches=mb)
+            tails.append(res["mean_reward_tail"])
+            print(json.dumps({"lr": lr, "ent_coef": ent, "epochs": ep,
+                              "minibatches": mb, "seed": sd, **res}),
+                  flush=True)
+        if len(seeds) > 1:
+            print(json.dumps({"lr": lr, "ent_coef": ent, "epochs": ep,
+                              "minibatches": mb,
+                              "mean_reward_tail_avg":
+                                  float(np.mean(tails))}), flush=True)
 
 
 if __name__ == "__main__":

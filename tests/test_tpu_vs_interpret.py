@@ -175,6 +175,10 @@ def run_render_tri(interpret: bool, B=16):
 R3_RENDER_CASES = (
     ("loop_obstacles", {"distortion": True}, "fisheye"),
     ("bigtown", {}, "bigtown"),
+    # r4: moving NPCs x cluster predication at town scale — the only
+    # config combining blob NPC pose reads with per-cluster lax.cond
+    ("bigtown_pedestrians", {}, "bigtown_peds"),
+    ("town_dyn_duckiebots", {}, "town_dyn"),
 )
 
 
