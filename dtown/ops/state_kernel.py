@@ -276,6 +276,9 @@ def make_state_kernel(cfg, Hg, Wg, n_words, M, n_spawn_ok, bb=None,
             pos_x_pre, pos_z_pre = pos_x, pos_z
         if domain_rand:
             dr_rows = [row(drb + k) for k in range(DR_ROWS)]
+            # optional-object visibility bitmask decoded once (the row
+            # stores a small nonneg integer as f32)
+            _objvis_i = dr_rows[DR_OBJVIS].astype(jnp.int32)
 
             def _u01(tag):
                 """Per-(env, episode, tag) uniform in [0, 1) from the
@@ -576,11 +579,9 @@ def make_state_kernel(cfg, Hg, Wg, n_words, M, n_spawn_ok, bb=None,
                         o_act = o_act & (mi == col_maps[m])
                     if domain_rand and m in opt_bit_of_col:
                         # optional-object visibility draw: bit m of the
-                        # per-env obj_visible bitmask row
-                        kbit = opt_bit_of_col[m]
-                        bit = jnp.floor(
-                            dr_rows[DR_OBJVIS] * (1.0 / (1 << kbit))
-                        ).astype(jnp.int32) & 1
+                        # per-env obj_visible bitmask row (decoded to
+                        # int once; shift+and per object)
+                        bit = (_objvis_i >> opt_bit_of_col[m]) & 1
                         o_act = o_act & (bit > 0)
                 axes = [(dir_x, dir_z), (right_x, right_z)] + obj_axes
                 separated = jnp.zeros_like(all_driv)

@@ -736,7 +736,11 @@ def _make_blob_kernel(H, W, plan, epb, grayscale=False, s_blk=None,
                 hg_e = blob_ref[e, drb + sk.DR_HG]
                 hb_e = blob_ref[e, drb + sk.DR_HB]
                 seed_e = blob_ref[e, drb + sk.DR_TEXSEED].astype(jnp.int32)
-                visrow_e = blob_ref[e, drb + sk.DR_OBJVIS]
+                # optional-object bitmask decoded ONCE per env; each
+                # object then costs 2 scalar ops (shift+and) instead of
+                # a floor/mul/cast/and chain
+                visbits_e = blob_ref[e, drb + sk.DR_OBJVIS].astype(
+                    jnp.int32)
             else:
                 tanx_e, tany_e = tanx_c, tany_c
                 sp_e, cp_e = sp, cp
@@ -990,10 +994,7 @@ def _make_blob_kernel(H, W, plan, epb, grayscale=False, s_blk=None,
                     act = act & (mid_i == ob["map"])
                 if dr and ob["opt_bit"] is not None:
                     # optional-object visibility bit for this env
-                    kbit = ob["opt_bit"]
-                    bit = jnp.floor(
-                        visrow_e * (1.0 / (1 << kbit))
-                    ).astype(jnp.int32) & 1
+                    bit = (visbits_e >> ob["opt_bit"]) & 1
                     act = act & (bit > 0)
 
                 def obj_pass(carry, ob=ob, ox=ox, oy=oy, oz=oz, s_r=s_r,
@@ -1359,9 +1360,10 @@ def render_frames_from_blob(cfg, maps, blob, plan, epb=None,
             if S % cand == 0:
                 s_blk = cand
                 break
-    # row-block sweep override (640x480 probe): any divisor of S
+    # row-block sweep override (640x480 probe): any divisor of S that
+    # is a sublane multiple (the TPU block rule needs s_blk % 8 == 0)
     _sb = int(os.environ.get("DTOWN_SBLK", "0"))
-    if _sb and S % _sb == 0:
+    if _sb and S % _sb == 0 and _sb % 8 == 0:
         s_blk = _sb
     fisheye = bool(cfg.distortion)
     static_cam = (not plan["domain_rand"]
