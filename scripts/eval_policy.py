@@ -253,25 +253,66 @@ def write_gif(args, cfg, maps, net, params, obs_of):
         camera_height=max(args.size, 128), renderer="xla",
     )
     key = jax.random.PRNGKey(args.seed + 1)
-    state = env_core.reset(cfg, maps, key, jnp.int32(0))
-    step1 = jax.jit(lambda s, a: env_core.step_physics(cfg, maps, s, a)[:2])
-    act_fn = jax.jit(
-        lambda o: jnp.tanh(net.apply(params, o[None])[0][0])
-    )
-    frame_fn = jax.jit(lambda s: env_core.render_obs(rgb_cfg, maps, s))
-    frames = [np.asarray(frame_fn(state))]
-    for t in range(args.gif_steps):
-        obs1 = jax.tree_util.tree_map(lambda x: x[None], state)
-        obs = obs_of(obs1)[0] if cfg.obs_type == "rgb" else env_core.render_obs(
-            cfg, maps, state
+    if getattr(args, "nav", False):
+        # Nav drive: episode under tasks.nav_step, captioned with the
+        # goal distance; ends on goal (or crash/steps)
+        from dtown import tasks
+
+        ns = tasks.nav_reset(cfg, maps, key, jnp.int32(0))
+        nav_step1 = jax.jit(
+            lambda n, a: tasks.nav_step(cfg, maps, n, a))
+        feat_fn = jax.jit(lambda n: tasks.goal_features(maps, n))
+
+        def act_of(n):
+            obs = (obs_of(jax.tree_util.tree_map(
+                lambda x: x[None], n.env))[0]
+                if cfg.obs_type == "rgb"
+                else env_core.render_obs(cfg, maps, n.env))
+            if args.goal_in_obs:
+                f = feat_fn(n)
+                obs = (jnp.concatenate([obs, f])
+                       if cfg.obs_type == "state" else (obs[None], f[None]))
+                if cfg.obs_type == "rgb":
+                    return jnp.tanh(net.apply(params, obs)[0][0])
+            return jnp.tanh(net.apply(params, obs[None])[0][0])
+
+        frame_fn = jax.jit(
+            lambda s: env_core.render_obs(rgb_cfg, maps, s))
+        frames = [np.asarray(frame_fn(ns.env))]
+        for t in range(args.gif_steps):
+            ns, out = nav_step1(ns, act_of(ns))
+            frames.append(np.asarray(frame_fn(ns.env)))
+            dist = float(feat_fn(ns)[2])
+            goal = float(out.reward) > 400.0
+            if viewer is not None:
+                viewer.update(frames[-1],
+                              caption=f"step {t} dist={dist:.2f}"
+                                      + (" GOAL!" if goal else ""))
+            if goal:
+                print(f"reached goal at step {t}")
+                break
+            if bool(out.done):
+                break
+    else:
+        state = env_core.reset(cfg, maps, key, jnp.int32(0))
+        step1 = jax.jit(
+            lambda s, a: env_core.step_physics(cfg, maps, s, a)[:2])
+        act_fn = jax.jit(
+            lambda o: jnp.tanh(net.apply(params, o[None])[0][0])
         )
-        state, out = step1(state, act_fn(obs))
-        frames.append(np.asarray(frame_fn(state)))
-        if viewer is not None:
-            viewer.update(frames[-1],
-                          caption=f"step {t} r={float(out.reward):+.2f}")
-        if bool(out.done):
-            break
+        frame_fn = jax.jit(lambda s: env_core.render_obs(rgb_cfg, maps, s))
+        frames = [np.asarray(frame_fn(state))]
+        for t in range(args.gif_steps):
+            obs1 = jax.tree_util.tree_map(lambda x: x[None], state)
+            obs = (obs_of(obs1)[0] if cfg.obs_type == "rgb"
+                   else env_core.render_obs(cfg, maps, state))
+            state, out = step1(state, act_fn(obs))
+            frames.append(np.asarray(frame_fn(state)))
+            if viewer is not None:
+                viewer.update(frames[-1],
+                              caption=f"step {t} r={float(out.reward):+.2f}")
+            if bool(out.done):
+                break
     if args.gif is None:
         print(f"streamed {len(frames)} frames")
         return
