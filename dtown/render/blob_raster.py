@@ -1356,12 +1356,24 @@ def render_frames_from_blob(cfg, maps, blob, plan, epb=None,
     # resident across a frame's row blocks.
     s_blk = S
     if S > 256:
-        for cand in range(256, 7, -8):
-            if S % cand == 0:
-                s_blk = cand
-                break
-    # row-block sweep override (640x480 probe): any divisor of S that
-    # is a sublane multiple (the TPU block rule needs s_blk % 8 == 0)
+        # Row-block size: the r3 rule picked the LARGEST divisor <= 256
+        # (streaming cost intuition); the r4 sweep at 640x480 (S = 2400)
+        # inverted it — smaller blocks win decisively (240: 10.9k,
+        # 120: 12.4k, 96: 15.6k, 80: 16.5k, 48: 18.1k steps/s at 512
+        # envs) because each live (s_blk, 128) f32 plane costs s_blk/8
+        # vector registers: the unrolled object pass holds ~10 planes
+        # live, so 240-row blocks spill the 64-entry vreg file hard
+        # while 48-row blocks (6 vregs/plane) mostly fit. Default: the
+        # divisor closest to 48.
+        best = None
+        for cand in range(8, 257, 8):
+            if S % cand == 0 and (best is None
+                                  or abs(cand - 48) < abs(best - 48)):
+                best = cand
+        if best is not None:
+            s_blk = best
+    # row-block sweep override: any divisor of S that is a sublane
+    # multiple (the TPU block rule needs s_blk % 8 == 0)
     _sb = int(os.environ.get("DTOWN_SBLK", "0"))
     if _sb and S % _sb == 0 and _sb % 8 == 0:
         s_blk = _sb
