@@ -34,8 +34,16 @@ class PPOConfig(NamedTuple):
     clip_eps: float = 0.2
     vf_coef: float = 0.5
     ent_coef: float = 0.01
-    epochs: int = 2
-    minibatches: int = 4
+    # epochs=4 / minibatches=8 over the folk 2/4, from two measurements
+    # (r4): CPU state-obs grid (small_loop, 256 envs, 48 iters, 2
+    # seeds) — 4/8 tail reward +0.53..+0.58 across ent_coef
+    # {0, .003, .01} vs -0.23 for 2/4; RGB on-chip A/B (small_loop
+    # 64x64, 1024 envs, 40 iters, seed 7) — 4/8 reaches the same
+    # reward ~2x earlier (iter-10 mean -0.33 vs -0.92) and ends ahead
+    # (+0.687 vs +0.656) at 25% lower steps/s, a clear
+    # wall-clock-to-reward win. ent_coef was flat; 0.01 retained.
+    epochs: int = 4
+    minibatches: int = 8
     max_grad_norm: float = 0.5
     # Rewards are scaled before GAE/returns so the -1000 crash terminal
     # doesn't dominate the value loss (metrics still report raw rewards).

@@ -69,8 +69,8 @@ def main():
     ap.add_argument("--gamma", type=float, default=0.99)
     ap.add_argument("--gae-lambda", type=float, default=0.95)
     ap.add_argument("--clip-eps", type=float, default=0.2)
-    ap.add_argument("--epochs", type=int, default=2)
-    ap.add_argument("--minibatches", type=int, default=4)
+    ap.add_argument("--epochs", type=int, default=4)
+    ap.add_argument("--minibatches", type=int, default=8)
     ap.add_argument("--reward-scale", type=float, default=0.02)
     ap.add_argument("--trunk", default="nature",
                     choices=["nature", "impala"])
