@@ -120,4 +120,18 @@ def restore_any(path: str):
     # read-only offline inspection of our own checkpoints it is fine.
     logging.getLogger("absl").setLevel(logging.ERROR)
     ckptr = ocp.StandardCheckpointer()
-    return ckptr.restore(resolve(path))
+    try:
+        return ckptr.restore(resolve(path))
+    except ValueError:
+        # Cross-backend restore (e.g. a TPU-trained checkpoint opened on
+        # a CPU-only eval host): the recorded device shardings don't
+        # resolve, so fall back to restoring every leaf as host numpy —
+        # jit re-places them on first use.
+        import numpy as _np
+
+        pt = ocp.PyTreeCheckpointer()
+        meta = pt.metadata(resolve(path)).item_metadata
+        restore_args = jax.tree_util.tree_map(
+            lambda _: ocp.RestoreArgs(restore_type=_np.ndarray), meta
+        )
+        return pt.restore(resolve(path), restore_args=restore_args)
