@@ -48,6 +48,33 @@ def test_blob_render_matches_xla(map_name):
     assert (diff > 10).mean() < 0.03
 
 
+def test_packed_ground_matches_float_path(monkeypatch):
+    """The packed-u8 ground path (r4 diet: colors x brightness x shade
+    folded to packed int constants, achromatic-noise packed add, baked
+    sky plane, ground riding the pk_ carry) must agree with the float
+    reference path to quantization: each side rounds color and noise
+    independently, so <= ~2 u8 counts per channel, no structural
+    drift."""
+    cfg = EnvConfig(obs_type="rgb", camera_width=64, camera_height=64,
+                    auto_reset=False)
+    maps = map_loader.load_map("loop_obstacles")
+    plan = build_render_plan(cfg, maps)
+    keys = jax.random.split(jax.random.PRNGKey(5), 8)
+    idx = jnp.zeros((8,), jnp.int32)
+    states = jax.vmap(lambda k, i: env_core.reset(cfg, maps, k, i))(keys,
+                                                                    idx)
+    blob = pack_blob(states, maps)
+    monkeypatch.setenv("DTOWN_PACKED_GROUND", "1")
+    f1 = np.asarray(render_frames_from_blob(cfg, maps, blob, plan,
+                                            interpret=True)).astype(int)
+    monkeypatch.setenv("DTOWN_PACKED_GROUND", "0")
+    f0 = np.asarray(render_frames_from_blob(cfg, maps, blob, plan,
+                                            interpret=True)).astype(int)
+    diff = np.abs(f1 - f0)
+    assert diff.max() <= 3, diff.max()
+    assert diff.mean() < 0.5, diff.mean()
+
+
 @pytest.mark.parametrize("map_name", ["udem1", "loop_pedestrians",
                                       "bigtown"])
 def test_cluster_predication_matches_straightline(map_name, monkeypatch):
