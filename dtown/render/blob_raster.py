@@ -60,9 +60,11 @@ KERNEL_TRI_BUDGET = 8
 # [B, NF] rows (the TPU block rule requires the trailing block dim to
 # equal the array dim or divide 128, so [NF, epb] columns of the native
 # [NF, B] blob are not addressable); a (EPB, NF) block then needs
-# EPB % 8 == 0. 16 measured +1.7% over 8 (fewer program boundaries) at
-# 1.089M steps/s on loop_obstacles 64x64 RGB 4096 envs.
-EPB = 16
+# EPB % 8 == 0. 16 measured +1.7% over 8 (r1); 32 measured +0.5-0.7%
+# over 16 twice at r4's lighter ground pass (1.347/1.344M vs 1.338M on
+# loop_obstacles 64x64 RGB 4096 envs) — small scenes only, the >24-prim
+# auto_epb=8 rule below still stands.
+EPB = 32
 
 
 def _scalar_sincos(x):
@@ -350,8 +352,11 @@ def build_render_plan(cfg, maps):
         dt=float(cfg.delta_time),
         tl_period=float(TRAFFICLIGHT_PERIOD),
         objs=objs,
-        # spatial cluster predication for large scenes (see above)
-        cluster=4 if clustered else 0,
+        # spatial cluster predication for large scenes (see above);
+        # cluster size 2 measured +9% over 4 on bigtown r4 (643.1k vs
+        # 590.8k; 8: 534.6k) — finer clusters skip more per env and the
+        # cond-boundary cost stayed amortized at town scale
+        cluster=2 if clustered else 0,
     )
 
 

@@ -151,7 +151,7 @@ def test_blob_render_ineligible_cases():
     # predication (bigtown, 32 objects)
     plan = build_render_plan(EnvConfig(obs_type="rgb"),
                              map_loader.load_map("bigtown"))
-    assert plan is not None and plan["cluster"] == 4
+    assert plan is not None and plan["cluster"] == 2
 
 
 def test_stack_with_clustered_member_matches_xla():
@@ -162,7 +162,7 @@ def test_stack_with_clustered_member_matches_xla():
                     auto_reset=False)
     maps = map_loader.stack_maps(["bigtown", "small_loop"])
     plan = build_render_plan(cfg, maps)
-    assert plan is not None and plan["cluster"] == 4
+    assert plan is not None and plan["cluster"] == 2
     assert sum(len(o["prims"]) for o in plan["objs"]) > 60
     keys = jax.random.split(jax.random.PRNGKey(7), 8)
     idx = jnp.arange(8, dtype=jnp.int32) % 2
