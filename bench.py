@@ -144,24 +144,36 @@ def main():
             n2 = args.iters * 2
             blob, r, o = jax.block_until_ready(
                 f_rollout(blob, states, actions, n2))  # warm 2n variant
-            t1s, t2s = [], []
+            dts, t1s = [], []
             for _ in range(3):
                 t0 = time.time()
                 blob, r, o = jax.block_until_ready(
                     f_rollout(blob, states, actions, args.iters))
-                t1s.append(time.time() - t0)
+                t1 = time.time() - t0
                 t0 = time.time()
                 blob, r, o = jax.block_until_ready(
                     f_rollout(blob, states, actions, n2))
-                t2s.append(time.time() - t0)
-            t1, t2 = sorted(t1s)[1], sorted(t2s)[1]
-            dt = t2 - t1
+                t2 = time.time() - t0
+                t1s.append(t1)
+                dts.append(t2 - t1)  # PAIRED diff: cancels slow drift
+            dt = sorted(dts)[1]
+            t1 = sorted(t1s)[1]
+            if dt <= 0 or dt < 0.1 * t1:
+                # timing noise swamped the marginal cost — a negative
+                # or sub-noise dt would print a nonsense rate; fail
+                # loudly instead (raise --iters until the margin is
+                # several times the per-call jitter)
+                sys.exit(
+                    f"two-point measurement degenerate (paired diffs "
+                    f"{[f'{d*1e3:.1f}ms' for d in dts]} vs t(n)~"
+                    f"{t1*1e3:.0f} ms): rerun with a larger --iters"
+                )
             steps_per_s = args.envs * args.iters / dt
             print(
                 f"two-point {args.iters}/{n2} x {args.envs} envs: "
-                f"t(n)={t1:.3f}s t(2n)={t2:.3f}s -> marginal "
+                f"median t(n)={t1:.3f}s paired dt={dt:.3f}s -> marginal "
                 f"{steps_per_s/1e6:.3f} M steps/s (fixed per-call "
-                f"~{max(0.0, 2*t1 - t2)*1e3:.0f} ms) [fused]",
+                f"~{max(0.0, t1 - dt)*1e3:.0f} ms) [fused]",
                 file=sys.stderr,
             )
         else:

@@ -177,14 +177,20 @@ def _acos(x):
     return jnp.where(x < 0.0, np.pi - r, r)
 
 
-def _hash_u32(a, b):
+def _hash_u32(a, b, salt=0):
     """Deterministic uint-ish hash of two int32 vectors -> positive int32.
 
     Multiply-free Jenkins-style mix (int32 vector multiplies are
     emulated multi-op on the VPU; same rounds as the render-side hashes,
     r4). Only feeds in-kernel PRNG streams (post-reset spawn/DR/goal
-    draws), which are kernel-private by design — no XLA-side twin."""
-    h = (a ^ (b << 13)) + b
+    draws), which are kernel-private by design — no XLA-side twin.
+
+    salt: python-constant stream id. Each call SITE passes a distinct
+    large constant so streams stay disjoint: small additive tags alone
+    would let e.g. the spawn-pick stream (a=ctr) collide exactly with
+    the duckie-vel stream (a=ctr+13) thirteen steps later. ctr is a
+    step counter (< ~1e6), so 2^28-spaced salts cannot alias."""
+    h = (a ^ (b << 13)) + b + salt
     h = h + (h << 10)
     h = h ^ (h >> 6)
     h = h + (h << 3)
@@ -283,12 +289,17 @@ def make_state_kernel(cfg, Hg, Wg, n_words, M, n_spawn_ok, bb=None,
             def _u01(tag):
                 """Per-(env, episode, tag) uniform in [0, 1) from the
                 integer-hash PRNG (threefry is too slow per step)."""
-                # stream separation by ADDED python-constant tags: the
-                # jen rounds in _hash_u32 do the mixing, so the old
-                # per-call vector multiplies (emulated multi-op) go
+                # stream separation by a per-(site, tag) salt: the jen
+                # rounds in _hash_u32 do the mixing, so the old
+                # per-call vector multiplies (emulated multi-op on the
+                # VPU) are gone, and folding the tag into the salt
+                # keeps draws disjoint across (env, step, tag) — tag
+                # offsets cannot alias ctr/env offsets the way additive
+                # tags on a/b could
                 hv = _hash_u32(
-                    rng_ctr.astype(jnp.int32) + (tag * 7919 + 3),
-                    env_id.astype(jnp.int32) + tag * 131,
+                    rng_ctr.astype(jnp.int32),
+                    env_id.astype(jnp.int32),
+                    salt=0x10000000 + tag * 0x3779B9,
                 )
                 return (hv & 0xFFFF).astype(jnp.float32) / 65536.0
 
@@ -693,6 +704,7 @@ def make_state_kernel(cfg, Hg, Wg, n_words, M, n_spawn_ok, bb=None,
             h = _hash_u32(
                 rng_ctr.astype(jnp.int32),
                 env_id.astype(jnp.int32),
+                salt=0x20000000,
             )
             if multi:
                 # draw within the env's map segment of the bank
@@ -731,11 +743,11 @@ def make_state_kernel(cfg, Hg, Wg, n_words, M, n_spawn_ok, bb=None,
             if nav:
                 # fresh goal: uniform drivable tile of the env's map
                 # (tasks._draw_goal), same one-hot-matmul fetch as the
-                # spawn bank, decorrelated hash stream
+                # spawn bank, decorrelated hash stream (per-site salt)
                 hg = _hash_u32(
-                    (rng_ctr.astype(jnp.int32) * 22695477 + 5)
-                    & 0x7FFFFFFF,
-                    (env_id.astype(jnp.int32) * 131 + 17) & 0x7FFFFFFF,
+                    rng_ctr.astype(jnp.int32),
+                    env_id.astype(jnp.int32),
+                    salt=0x40000000,
                 )
                 if multi:
                     nd_v = jnp.full_like(hg, n_driv_list[0])
@@ -774,8 +786,10 @@ def make_state_kernel(cfg, Hg, Wg, n_words, M, n_spawn_ok, bb=None,
                     usum = jnp.zeros_like(pos_x)
                     for j in range(4):
                         hv = _hash_u32(
-                            rng_ctr.astype(jnp.int32) + (7 * j + 13),
-                            env_id.astype(jnp.int32) + 131071 * i,
+                            rng_ctr.astype(jnp.int32),
+                            env_id.astype(jnp.int32),
+                            salt=0x30000000 + j * 0x3779B9
+                            + i * 0x611C9,
                         )
                         usum = usum + (hv & 0xFFFF).astype(f32) / 65536.0
                     nrm = (usum - 2.0) * 1.7320508  # ~N(0, 1)

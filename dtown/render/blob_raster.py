@@ -1351,7 +1351,10 @@ def render_frames_from_blob(cfg, maps, blob, plan, epb=None,
     auto_epb = EPB if n_prims <= 24 else 8
     epb = epb or int(os.environ.get("DTOWN_EPB", "0")) or auto_epb
     if B % epb != 0:
-        epb = 8
+        # largest sublane-multiple divisor of B below the target, so a
+        # 16- or 24-env batch still amortizes over 16/8 envs per
+        # program instead of dropping straight to 8
+        epb = max(e for e in range(8, epb, 8) if B % e == 0)
     assert B % epb == 0 and epb % 8 == 0, (B, epb)
     C = 1 if cfg.grayscale else 3
     # Frame row-tiling: above ~256 sublane rows per plane (64x64 has 32;

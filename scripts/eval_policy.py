@@ -60,33 +60,38 @@ def make_obs_fn(cfg, maps):
     return obs_of
 
 
-def episode_stats(rewards: np.ndarray, dones: np.ndarray):
-    """Per-episode stats from [T, E] reward/done arrays.
-
-    Episodes are spans ending at a done step; only completed episodes
-    count toward return/length (the trailing partial span per env is
-    discarded, matching how the reference's scripts tally per-episode
-    reward on `done`).
-    """
+def episode_records(rewards: np.ndarray, dones: np.ndarray):
+    """Completed-episode records (length, terminal_reward, return) from
+    [T, E] reward/done arrays. Episodes are spans ending at a done
+    step; the trailing partial span per env is discarded, matching how
+    the reference's scripts tally per-episode reward on `done`. The
+    single source of episode-boundary logic for all derived stats."""
     T, E = rewards.shape
-    returns, lengths, crashes = [], [], 0
+    recs = []
     for e in range(E):
         acc, n = 0.0, 0
         for t in range(T):
             acc += float(rewards[t, e])
             n += 1
             if dones[t, e]:
-                returns.append(acc)
-                lengths.append(n)
-                if rewards[t, e] <= -999.0:  # REWARD_INVALID_POSE terminal
-                    crashes += 1
+                recs.append((n, float(rewards[t, e]), acc))
                 acc, n = 0.0, 0
-    n_ep = len(returns)
+    return recs
+
+
+def episode_stats(rewards: np.ndarray, dones: np.ndarray, recs=None):
+    """Per-episode stats derived from episode_records."""
+    recs = episode_records(rewards, dones) if recs is None else recs
+    n_ep = len(recs)
+    # REWARD_INVALID_POSE terminal marks a crash
+    crashes = sum(1 for _, tr, _ in recs if tr <= -999.0)
     survived = int((~dones.any(axis=0)).sum())
     return {
         "episodes": n_ep,
-        "mean_return": float(np.mean(returns)) if n_ep else None,
-        "mean_ep_len": float(np.mean(lengths)) if n_ep else None,
+        "mean_return": (float(np.mean([r for _, _, r in recs]))
+                        if n_ep else None),
+        "mean_ep_len": (float(np.mean([n for n, _, _ in recs]))
+                        if n_ep else None),
         "crash_rate": crashes / n_ep if n_ep else None,
         "survived_full_horizon": survived,
         "mean_step_reward": float(rewards.mean()),
@@ -186,26 +191,17 @@ def main():
         rew, done = jax.block_until_ready(run_nav(k_env, k_act))
         dt = time.perf_counter() - t0
         rew_np, done_np = np.asarray(rew), np.asarray(done)
-        stats = episode_stats(rew_np, done_np)
+        recs = episode_records(rew_np, done_np)
+        stats = episode_stats(rew_np, done_np, recs=recs)
         # a goal step carries the +500 NAV_GOAL_REWARD (lane term O(1),
-        # crash -1000) so reward > 400 identifies it unambiguously
-        goal_steps = rew_np > 400.0
-        n_goals = int(goal_steps.sum())
+        # crash -1000) so terminal reward > 400 identifies it
+        ttg = [n for n, tr, _ in recs if tr > 400.0]
+        n_goals = len(ttg)
         n_eps = stats["episodes"] or 0
-        # steps-to-goal: length of each goal-terminated episode
-        ttg = []
-        for e in range(done_np.shape[1]):
-            n = 0
-            for t in range(done_np.shape[0]):
-                n += 1
-                if done_np[t, e]:
-                    if goal_steps[t, e]:
-                        ttg.append(n)
-                    n = 0
         stats.update({
             "goals_reached": n_goals,
             "success_rate": (n_goals / n_eps) if n_eps else None,
-            "goal_steps_frac": float(goal_steps.mean()),
+            "goal_steps_frac": float((rew_np > 400.0).mean()),
             "mean_steps_to_goal": float(np.mean(ttg)) if ttg else None,
         })
     else:
