@@ -29,6 +29,9 @@ POSES = [
     ("4way_center", "4way", (1.5, 2.25), 1.5707964),
     ("bigtown_street", "bigtown", (2.0, 1.35), 0.0),
     ("s_bend_entry", "s_bend", (0.35, 1.3), 1.5707964),
+    ("warehouse_aisle", "warehouse", (2.0, 1.35), 0.0),
+    ("town_dyn_main", "town_dyn_duckiebots", (2.5, 1.35), 0.0),
+    ("mini_ring_curve", "regress_mini_ring", (0.65, 0.35), 0.0),
 ]
 
 
