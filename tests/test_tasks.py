@@ -84,6 +84,51 @@ def test_nav_rgb_pallas_obs_path():
     assert int(jnp.std(out.obs.astype(jnp.float32))) > 5
 
 
+def test_nav_rgb_goal_in_obs_tuple():
+    """Camera obs + goal_in_obs (r4): the XLA vec path returns
+    (image, goal_vec) tuples matching the fused path's contract."""
+    cfg = EnvConfig(obs_type="rgb", camera_width=32, camera_height=32,
+                    renderer="pallas")
+    maps = map_loader.load_map("small_loop")
+    v_reset, v_step = tasks.make_nav_vec(cfg, maps, 8, goal_in_obs=True)
+    ns = v_reset(jax.random.PRNGKey(2))
+    ns, out = v_step(ns, jnp.zeros((8, 2), jnp.float32))
+    img, feats = out.obs
+    assert img.shape == (8, 32, 32, 3) and img.dtype == jnp.uint8
+    assert feats.shape == (8, 3)
+    ts = float(maps.tile_size)
+    gx = (np.asarray(ns.goal[:, 0]) + 0.5) * ts
+    gz = (np.asarray(ns.goal[:, 1]) + 0.5) * ts
+    pos = np.asarray(ns.env.pos)
+    d = np.hypot(gx - pos[:, 0], gz - pos[:, 2])
+    np.testing.assert_allclose(np.asarray(feats[:, 2]), d, rtol=1e-4)
+
+
+def test_nav_shaping_dense_signal():
+    """nav_shaping_coef adds coef*(d_prev - d_next) every live step:
+    driving straight toward/away from the goal must move the reward by
+    the signed distance delta."""
+    cfg = EnvConfig(obs_type="state", nav_shaping_coef=10.0,
+                    auto_reset=False)
+    cfg0 = EnvConfig(obs_type="state", auto_reset=False)
+    maps = map_loader.load_map("straight_road")
+    from dtown import env as env_core
+    st = env_core.reset(cfg, maps, jax.random.PRNGKey(0))
+    ns = tasks.NavState(env=st, goal=jnp.array([4, 0], jnp.int32),
+                        rng=jax.random.PRNGKey(1))
+    act = jnp.array([0.6, 0.0], jnp.float32)
+    ns1, out_s = tasks.nav_step(cfg, maps, ns, act)
+    _, out_0 = tasks.nav_step(cfg0, maps, ns, act)
+    ts = float(maps.tile_size)
+    gx = (4 + 0.5) * ts
+    gz = 0.5 * ts
+    d0 = float(jnp.hypot(gx - ns.env.pos[0], gz - ns.env.pos[2]))
+    d1 = float(jnp.hypot(gx - ns1.env.pos[0], gz - ns1.env.pos[2]))
+    expect = 10.0 * (d0 - d1)
+    np.testing.assert_allclose(
+        float(out_s.reward) - float(out_0.reward), expect, atol=1e-4)
+
+
 def test_nav_goal_in_obs():
     """goal_in_obs appends the agent-frame goal offset; the forward
     component must be positive when the goal lies ahead and the distance
