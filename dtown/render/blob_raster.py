@@ -1367,16 +1367,17 @@ def render_frames_from_blob(cfg, maps, blob, plan, epb=None,
         # Row-block size: the r3 rule picked the LARGEST divisor <= 256
         # (streaming cost intuition); the r4 sweep at 640x480 (S = 2400)
         # inverted it — smaller blocks win decisively (240: 10.9k,
-        # 120: 12.4k, 96: 15.6k, 80: 16.5k, 48: 18.1k steps/s at 512
-        # envs) because each live (s_blk, 128) f32 plane costs s_blk/8
-        # vector registers: the unrolled object pass holds ~10 planes
-        # live, so 240-row blocks spill the 64-entry vreg file hard
-        # while 48-row blocks (6 vregs/plane) mostly fit. Default: the
-        # divisor closest to 48.
+        # 120: 12.4k, 96: 15.6k, 80: 16.5k, 48: 18.1k, 40: 18.5k,
+        # 32: 18.7k steps/s at 512 envs) because each live (s_blk, 128)
+        # f32 plane costs s_blk/8 vector registers: the unrolled object
+        # pass holds ~10 planes live, so 240-row blocks spill the
+        # 64-entry vreg file hard while 32-row blocks (4 vregs/plane)
+        # fit. Default: the divisor closest to 32 (the sweep's knee;
+        # smaller starts paying per-block fixed costs).
         best = None
         for cand in range(8, 257, 8):
             if S % cand == 0 and (best is None
-                                  or abs(cand - 48) < abs(best - 48)):
+                                  or abs(cand - 32) < abs(best - 32)):
                 best = cand
         if best is not None:
             s_blk = best
