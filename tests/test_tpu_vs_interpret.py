@@ -87,7 +87,9 @@ def run_render(interpret: bool, map_name="loop_obstacles", B=64,
     )
     from dtown.types import EnvConfig
 
-    cfg = EnvConfig(obs_type="rgb", camera_width=64, camera_height=64,
+    w = cfg_kw.pop("camera_width", 64)
+    h = cfg_kw.pop("camera_height", 64)
+    cfg = EnvConfig(obs_type="rgb", camera_width=w, camera_height=h,
                     auto_reset=False, **cfg_kw)
     maps = map_loader.load_map(map_name)
     plan = build_render_plan(cfg, maps)
@@ -179,6 +181,11 @@ R3_RENDER_CASES = (
     # config combining blob NPC pose reads with per-cluster lax.cond
     ("bigtown_pedestrians", {}, "bigtown_peds"),
     ("town_dyn_duckiebots", {}, "town_dyn"),
+    # r4: the reference's NATIVE resolution through the row-tiled path
+    # (s_blk=32 after the vreg sweep) — hardware parity at 640x480 was
+    # previously only asserted at CPU-testable shapes
+    ("loop_obstacles",
+     {"camera_width": 640, "camera_height": 480, "B": 8}, "native_res"),
 )
 
 
