@@ -1342,11 +1342,12 @@ def render_frames_from_blob(cfg, maps, blob, plan, epb=None,
     import os
 
     nf, B = blob.shape
-    # EPB 16 amortizes per-program cost on small scenes (+1.7% on
-    # loop_obstacles' 18 prims) but LOSES 13% on udem1's ~35 prims (the
-    # 16x-unrolled object pass overflows the scheduling window) — pick
-    # per scene. Re-probed r3 post deferred-shading: udem1 +0.7%
-    # (noise), clustered bigtown −24% — the threshold stands.
+    # Large EPB amortizes per-program cost on small scenes (16: +1.7%
+    # r1; 32: +0.5-0.7% r4 on loop_obstacles' 18 prims) but LOSES on
+    # many-prim scenes (13% on udem1's ~35 prims at 16 — the unrolled
+    # object pass overflows the scheduling window) — pick per scene.
+    # Re-probed r3: udem1 +0.7% (noise), clustered bigtown −24% — the
+    # 24-prim threshold stands.
     n_prims = sum(len(ob["prims"]) for ob in plan["objs"])
     auto_epb = EPB if n_prims <= 24 else 8
     epb = epb or int(os.environ.get("DTOWN_EPB", "0")) or auto_epb
