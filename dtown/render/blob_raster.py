@@ -868,6 +868,52 @@ def _make_blob_kernel(H, W, plan, epb, grayscale=False, s_blk=None,
                 l_ = l_ + nrm * ampv
                 l_ = jnp.where(in_grid, l_, _lum((gr, gg, gb)) * shade)
                 l_ = jnp.where(gmask_p, l_, sky_l_p)
+            elif dr and grayscale:
+                # DR luma-direct ground (r4 queue #4): luma is linear,
+                # so lum(select(colors)) == select(lum constants) and
+                # lum(c*bright + n*amp) == lum(c)*bright + n*amp — the
+                # RGB materialization (15 selects + 3x bright/noise/
+                # shade/sky) collapses to one plane. Per-env ground/
+                # horizon lumas are scalar folds.
+                from dtown.randomization import variant_hash
+
+                variant = variant_hash(tid, seed_e)
+                yellow, white, is_road, is_grass, is_floor, bu_, bv_ = \
+                    _tile_masks(kind, angle_idx, fx - ti, fz - tj,
+                                present=present)
+                sels = [(m, _lum(c3)) for kk, m, c3 in
+                        ((T.TILE_FLOOR, is_floor, FLOOR),
+                         (T.TILE_GRASS, is_grass, GRASS))
+                        if kk in present]
+                if road_present:
+                    sels.append((is_road, _lum(ASPHALT)))
+                if T.TILE_EMPTY in present or not sels:
+                    l_ = jnp.full_like(fx, _lum(EMPTY))
+                else:
+                    l_ = jnp.full_like(fx, sels[0][1])
+                    sels = sels[1:]
+                for m, lv in sels:
+                    l_ = jnp.where(m, lv, l_)
+                if marking_present:
+                    l_ = jnp.where(yellow, _lum(YELLOW), l_)
+                    l_ = jnp.where(white, _lum(WHITE), l_)
+                bright = 0.94 + 0.04 * variant.astype(f32)
+                nrm = _noise_h16f(bu_, bv_, kind, variant) \
+                    * (1.0 / 32768.0) - 1.0
+                ampv = AMP_OTHER
+                if T.TILE_GRASS in present:
+                    ampv = jnp.where(is_grass, AMP_GRASS, ampv)
+                if road_present:
+                    ampv = jnp.where(is_road, NOISE_AMP, ampv)
+                l_ = l_ * bright + nrm * ampv
+                lum_gnd_e = (0.299 * gr_e + 0.587 * gg_e
+                             + 0.114 * gb_e)
+                l_ = jnp.where(in_grid, l_, lum_gnd_e) * shade_e
+                sky_f = skyf_p if static_cam \
+                    else 1.0 - 0.35 * jnp.maximum(0.0, dy)
+                lum_hor_e = (0.299 * hr_e + 0.587 * hg_e
+                             + 0.114 * hb_e)
+                l_ = jnp.where(hits_ground, l_, lum_hor_e * sky_f)
             else:
                 if dr:
                     # per-env texture variant re-pick, shared hash with

@@ -75,6 +75,30 @@ def test_packed_ground_matches_float_path(monkeypatch):
     assert diff.mean() < 0.5, diff.mean()
 
 
+def test_gray_dr_luma_direct_matches_xla():
+    """The DR grayscale luma-direct ground path (r4: luma constants
+    selected directly, no RGB materialization) must match the XLA
+    renderer's rgb->luma within quantization."""
+    cfg = EnvConfig(obs_type="rgb", camera_width=64, camera_height=64,
+                    grayscale=True, domain_rand=True, auto_reset=False)
+    maps = map_loader.load_map("udem1")
+    plan = build_render_plan(cfg, maps)
+    keys = jax.random.split(jax.random.PRNGKey(3), 8)
+    idx = jnp.zeros((8,), jnp.int32)
+    states = jax.vmap(lambda k, i: env_core.reset(cfg, maps, k, i))(keys,
+                                                                    idx)
+    blob = pack_blob(states, maps, True)
+    planes = render_frames_from_blob(cfg, maps, blob, plan,
+                                     interpret=True)
+    img_b = np.asarray(planes_to_nhwc(cfg, planes)).astype(int)
+    img_x = np.asarray(
+        jax.vmap(lambda s: env_core.render_obs(cfg, maps, s))(states)
+    ).astype(int)
+    diff = np.abs(img_b - img_x)
+    assert diff.mean() < 2.0, diff.mean()
+    assert (diff > 10).mean() < 0.03
+
+
 @pytest.mark.parametrize("map_name", ["udem1", "loop_pedestrians",
                                       "bigtown"])
 def test_cluster_predication_matches_straightline(map_name, monkeypatch):
