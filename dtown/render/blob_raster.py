@@ -612,6 +612,29 @@ def _make_blob_kernel(H, W, plan, epb, grayscale=False, s_blk=None,
         kk in present for kk in range(T.TILE_STRAIGHT, T.TILE_ASPHALT + 1))
     marking_present = any(
         kk in present for kk in range(T.TILE_STRAIGHT, T.TILE_4WAY + 1))
+
+    def _luma_ground(yellow, white, is_road, is_grass, is_floor, like,
+                     scale):
+        """Present-aware luma base+marking select chain, shared by the
+        static luma path (scale = B0*shade folded) and the DR path
+        (scale = 1, brightness applied per pixel afterwards)."""
+        sels = [(m, _lum(c3) * scale) for kk, m, c3 in
+                ((T.TILE_FLOOR, is_floor, FLOOR),
+                 (T.TILE_GRASS, is_grass, GRASS))
+                if kk in present]
+        if road_present:
+            sels.append((is_road, _lum(ASPHALT) * scale))
+        if T.TILE_EMPTY in present or not sels:
+            l_ = jnp.full_like(like, _lum(EMPTY) * scale)
+        else:
+            l_ = jnp.full_like(like, sels[0][1])
+            sels = sels[1:]
+        for m, lv in sels:
+            l_ = jnp.where(m, lv, l_)
+        if marking_present:
+            l_ = jnp.where(yellow, _lum(YELLOW) * scale, l_)
+            l_ = jnp.where(white, _lum(WHITE) * scale, l_)
+        return l_
     # noise amplitudes folded with shade*255 (packed) or shade (luma)
     AMP_GRASS, AMP_OTHER = 0.03, 0.015
 
@@ -848,55 +871,30 @@ def _make_blob_kernel(H, W, plan, epb, grayscale=False, s_blk=None,
                 col = jnp.where(gmask_p, col, sky_pk_p)
             elif luma_g:
                 # luma-constant ground: base colors collapse to scalar
-                # luma constants (no RGB materialization at all)
-                base = [(T.TILE_FLOOR, is_floor, FLOOR),
-                        (T.TILE_GRASS, is_grass, GRASS)]
-                sels = [(m, _lum(c3) * B0 * shade) for kk, m, c3 in base
-                        if kk in present]
-                if road_present:
-                    sels.append((is_road, _lum(ASPHALT) * B0 * shade))
-                if T.TILE_EMPTY in present or not sels:
-                    l_ = jnp.full_like(fx, _lum(EMPTY) * B0 * shade)
-                else:
-                    l_ = jnp.full_like(fx, sels[0][1])
-                    sels = sels[1:]
-                for m, lv in sels:
-                    l_ = jnp.where(m, lv, l_)
-                if marking_present:
-                    l_ = jnp.where(yellow, _lum(YELLOW) * B0 * shade, l_)
-                    l_ = jnp.where(white, _lum(WHITE) * B0 * shade, l_)
+                # luma constants (no RGB materialization at all);
+                # brightness (variant 0) and shade fold into the chain
+                l_ = _luma_ground(yellow, white, is_road, is_grass,
+                                  is_floor, fx, B0 * shade)
                 l_ = l_ + nrm * ampv
                 l_ = jnp.where(in_grid, l_, _lum((gr, gg, gb)) * shade)
                 l_ = jnp.where(gmask_p, l_, sky_l_p)
-            elif dr and grayscale:
+            elif dr and grayscale and _pg:
                 # DR luma-direct ground (r4 queue #4): luma is linear,
                 # so lum(select(colors)) == select(lum constants) and
                 # lum(c*bright + n*amp) == lum(c)*bright + n*amp — the
                 # RGB materialization (15 selects + 3x bright/noise/
                 # shade/sky) collapses to one plane. Per-env ground/
-                # horizon lumas are scalar folds.
+                # horizon lumas are scalar folds. DTOWN_PACKED_GROUND=0
+                # restores the float reference path (same off-switch
+                # as the packed/static-luma diets).
                 from dtown.randomization import variant_hash
 
                 variant = variant_hash(tid, seed_e)
                 yellow, white, is_road, is_grass, is_floor, bu_, bv_ = \
                     _tile_masks(kind, angle_idx, fx - ti, fz - tj,
                                 present=present)
-                sels = [(m, _lum(c3)) for kk, m, c3 in
-                        ((T.TILE_FLOOR, is_floor, FLOOR),
-                         (T.TILE_GRASS, is_grass, GRASS))
-                        if kk in present]
-                if road_present:
-                    sels.append((is_road, _lum(ASPHALT)))
-                if T.TILE_EMPTY in present or not sels:
-                    l_ = jnp.full_like(fx, _lum(EMPTY))
-                else:
-                    l_ = jnp.full_like(fx, sels[0][1])
-                    sels = sels[1:]
-                for m, lv in sels:
-                    l_ = jnp.where(m, lv, l_)
-                if marking_present:
-                    l_ = jnp.where(yellow, _lum(YELLOW), l_)
-                    l_ = jnp.where(white, _lum(WHITE), l_)
+                l_ = _luma_ground(yellow, white, is_road, is_grass,
+                                  is_floor, fx, 1.0)
                 bright = 0.94 + 0.04 * variant.astype(f32)
                 nrm = _noise_h16f(bu_, bv_, kind, variant) \
                     * (1.0 / 32768.0) - 1.0
@@ -906,14 +904,13 @@ def _make_blob_kernel(H, W, plan, epb, grayscale=False, s_blk=None,
                 if road_present:
                     ampv = jnp.where(is_road, NOISE_AMP, ampv)
                 l_ = l_ * bright + nrm * ampv
-                lum_gnd_e = (0.299 * gr_e + 0.587 * gg_e
-                             + 0.114 * gb_e)
-                l_ = jnp.where(in_grid, l_, lum_gnd_e) * shade_e
-                sky_f = skyf_p if static_cam \
-                    else 1.0 - 0.35 * jnp.maximum(0.0, dy)
-                lum_hor_e = (0.299 * hr_e + 0.587 * hg_e
-                             + 0.114 * hb_e)
-                l_ = jnp.where(hits_ground, l_, lum_hor_e * sky_f)
+                l_ = jnp.where(in_grid, l_, _lum((gr_e, gg_e, gb_e))) \
+                    * shade_e
+                # dr excludes static_cam, so the sky factor is always
+                # the dynamic form here
+                sky_f = 1.0 - 0.35 * jnp.maximum(0.0, dy)
+                l_ = jnp.where(hits_ground, l_,
+                               _lum((hr_e, hg_e, hb_e)) * sky_f)
             else:
                 if dr:
                     # per-env texture variant re-pick, shared hash with
