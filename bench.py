@@ -50,6 +50,11 @@ def main():
                          "kernel's ray table — ~free at any resolution)")
     ap.add_argument("--no-autoreset", action="store_true")
     ap.add_argument("--no-objects", action="store_true")
+    ap.add_argument("--lod", type=float, default=None,
+                    help="obj_lod_px override (size-aware prim LOD cull, "
+                         "render/lod.py; 0 disables; default: EnvConfig)")
+    ap.add_argument("--cull", type=float, default=None,
+                    help="obj_cull_dist override (m)")
     ap.add_argument("--cpu", action="store_true",
                     help="force local CPU backend (handled at import)")
     ap.add_argument("--renderer", default="pallas", choices=["xla", "pallas"])
@@ -78,6 +83,12 @@ def main():
         render_objects=not args.no_objects,
         renderer=args.renderer,
     )
+    import dataclasses
+
+    if args.lod is not None:
+        cfg = dataclasses.replace(cfg, obj_lod_px=args.lod)
+    if args.cull is not None:
+        cfg = dataclasses.replace(cfg, obj_cull_dist=args.cull)
     if "," in args.map:
         # stacked multimap (BASELINE config 5 single-chip form): envs
         # are assigned maps round-robin at reset, every kernel table

@@ -172,13 +172,15 @@ def build_render_plan(cfg, maps):
         # With per-map cluster predication an env only executes its own
         # map's object pass, so the straight-line cost budget is per map
         # (enforced by the per-map plans above at <= 24 each); the TOTAL
-        # budget only bounds program size / compile time.
-        if len(objs) > 48:
+        # budget only bounds program size / compile time. Budgets count
+        # REAL map objects (n_real) — LOD band-splitting multiplies the
+        # pseudo-object count without adding prims.
+        if sum(p["n_real"] for p in per) > 48:
             return None
         plan = dict(per[0])
         plan.update(
             words=words, n_words=n_maps * npw, present=present, objs=objs,
-            n_npc=npc_off,
+            n_npc=npc_off, n_real=sum(p["n_real"] for p in per),
             multi=dict(n_maps=n_maps, npw=npw),
             # per-map cluster predication: unlike the geometric culls
             # that LOSE on small single maps (see STATUS), the stack's
@@ -189,7 +191,7 @@ def build_render_plan(cfg, maps):
             # clustered (>24 objects), then keep its finer granularity.
             cluster=(min(p["cluster"] for p in per if p["cluster"])
                      if any(p["cluster"] for p in per)
-                     else max(1, max(len(p["objs"]) for p in per))),
+                     else max(1, max(p["n_real"] for p in per))),
         )
         return plan
     try:
@@ -241,7 +243,11 @@ def build_render_plan(cfg, maps):
     present = frozenset(int(x) for x in np.unique(kind))
 
     # --- objects -------------------------------------------------------
+    from dtown.render import lod as lodlib
+
     tables = meshlib.prim_tables()
+    cull_d = float(cfg.obj_cull_dist)
+    lod_base = lodlib.prim_culld_base(cfg)  # [K, P], +inf when LOD off
     pos = np.asarray(maps.obj_pos, np.float64)
     rot = np.asarray(maps.obj_y_rot, np.float64)
     scale = np.asarray(maps.obj_scale, np.float64)
@@ -284,6 +290,7 @@ def build_render_plan(cfg, maps):
                     lamp=False,
                     center=tuple(float(x) for x in (v0 + v1 + v2) / 3),
                     param=(0.0, 0.0, 0.0),
+                    culld=cull_d,  # tri prims are LOD-exempt (lod.py)
                 ))
             objs.append(dict(
                 pos=tuple(float(x) for x in pos[m]),
@@ -304,6 +311,9 @@ def build_render_plan(cfg, maps):
                 param=tuple(float(x) for x in tables["param"][k, p]),
                 color=tuple(float(x) for x in tables["color"][k, p]),
                 lamp=bool(tables["phase"][k, p]),
+                # size-aware per-prim cull distance (render/lod.py) —
+                # matches the XLA renderer's prim_ok mask
+                culld=min(cull_d, float(lod_base[k, p]) * sc),
             ))
         npc_idx = slot_to_npc.get(int(m))
         objs.append(dict(
@@ -329,12 +339,23 @@ def build_render_plan(cfg, maps):
             kbit += 1
     for ob in objs:
         ob["opt_bit"] = opt_bit.get(ob["slot"])
+    if clustered:
+        # big maps already cond per spatial cluster; splitting bands
+        # into pseudo-objects only multiplies cond boundaries (bigtown
+        # -8.7%, r5). Annotate culld (shrinks each cluster's cond
+        # radius) and keep the per-prim act gates, objects whole.
+        for ob in objs:
+            ob["culld"] = max(p.get("culld", cull_d) for p in ob["prims"])
+            ob["lod_band"] = _lod_band(ob["culld"], cull_d)
+    else:
+        objs = _lod_split(objs, cull_d)
 
     from dtown.objects import TRAFFICLIGHT_PERIOD
 
     Hg, Wg = maps.grid_shape
     return dict(
         domain_rand=bool(cfg.domain_rand),
+        n_real=n_objects,
         n_npc=len(npcs),
         n_opt=kbit,
         multi=None,
@@ -360,6 +381,48 @@ def build_render_plan(cfg, maps):
     )
 
 
+def _lod_band(cd, cull_d):
+    """LOD band of a cull distance: -1 = full range (>= obj_cull_dist),
+    else the halving octave below it (band 0: (cull/2, cull], band 1:
+    (cull/4, cull/2], band 2: everything closer). Bands bound the cond
+    granularity only — the per-prim act gates carry the exact
+    distances, so banding never changes pixels."""
+    if cd >= cull_d * 0.999:
+        return -1
+    return min(2, int(math.floor(math.log2(cull_d / cd))))
+
+
+def _lod_split(objs, cull_d):
+    """Split each static object's prims into per-LOD-band pseudo-objects
+    (shared pose/slot/opt_bit) and annotate every object with
+    culld = max member prim cull distance. Pseudo-objects let the
+    kernel's cluster predication wrap detail prims in a much tighter
+    skip radius than the whole object's. Moving NPCs stay whole (their
+    cond is a pose-based singleton cluster already)."""
+    out = []
+    for ob in objs:
+        prims = ob["prims"]
+        if not prims:
+            continue
+        if ob["npc_idx"] is not None:
+            o2 = dict(ob)
+            o2["culld"] = max(p.get("culld", cull_d) for p in prims)
+            o2["lod_band"] = _lod_band(o2["culld"], cull_d)
+            out.append(o2)
+            continue
+        bands = {}
+        for p in prims:
+            bands.setdefault(
+                _lod_band(p.get("culld", cull_d), cull_d), []).append(p)
+        for b in sorted(bands):
+            o2 = dict(ob)
+            o2["prims"] = bands[b]
+            o2["lod_band"] = b
+            o2["culld"] = max(p.get("culld", cull_d) for p in bands[b])
+            out.append(o2)
+    return out
+
+
 def _bound_radius(ob):
     """Conservative world-space bounding radius of an object's prims
     around its position (model extents scaled by the object scale)."""
@@ -382,7 +445,11 @@ def _build_clusters(objs, max_per):
     """Group static objects into spatial clusters of <= max_per by
     recursive widest-axis median splits (per map id for stacks); moving
     NPCs become singleton clusters (their pose — and hence the cluster
-    visibility test — is read from the blob at render time)."""
+    visibility test — is read from the blob at render time). LOD
+    pseudo-objects of one slot sit at distance 0, so the spatial split
+    pairs an object's own bands before reaching across the map (keying
+    clusters BY band instead measured -8.7% on bigtown r5: the extra
+    cond boundaries outweighed the tighter radii)."""
     from collections import defaultdict
 
     groups = []
@@ -540,17 +607,60 @@ def _make_blob_kernel(H, W, plan, epb, grayscale=False, s_blk=None,
     cluster_sz = max(0, cluster_sz)  # negative values would mis-split
     if pred:
         cluster_sz = 0
+    cull_w = math.sqrt(plan["cull2"])
+    # LOD pseudo-object predication (r5): on maps too small for spatial
+    # clustering, detail-band pseudo-objects (culld < obj_cull_dist,
+    # _lod_split) still get their own tight-radius conds — the per-env
+    # skip probability at 1-2.5 m radii is high even on a 4x5 m map,
+    # which is what turned cluster predication from the r2 small-map
+    # loss into a win. DTOWN_LOD_CLUSTER: max pseudo-objects per LOD
+    # cluster (0 disables the conds; per-prim act masks keep pixels
+    # identical either way). Default 1 — singleton conds keep each
+    # pseudo-object's own tight culld; pairing measured WORSE on udem1
+    # (741k vs 794k, r5: the spatial pairs span the map, r_c blows the
+    # range past the pred-frac bar and the prims fall back to
+    # straight-line).
+    _lc = os.environ.get("DTOWN_LOD_CLUSTER")
+    lod_cl = 0 if pred else (int(_lc) if _lc is not None else 1)
+    lod_cl = max(0, lod_cl)
+
+    def _is_lod(o):
+        return o.get("culld", cull_w) < cull_w * 0.999
+
     # cluster partition + static bounds are env-independent: build once
     if cluster_sz:
         cl_groups = _build_clusters(plan["objs"], cluster_sz)
-        cl_bounds = [
-            _cluster_bounds(g) if all(o["npc_idx"] is None for o in g)
-            else None
-            for g in cl_groups
-        ]
+        cl_pred = [True] * len(cl_groups)
+    elif lod_cl and any(_is_lod(o) for o in plan["objs"]):
+        full = [o for o in plan["objs"] if not _is_lod(o)]
+        lodo = [o for o in plan["objs"] if _is_lod(o)]
+        cl_groups = ([full] if full else []) + _build_clusters(lodo,
+                                                               lod_cl)
+        cl_pred = [False] * (1 if full else 0) \
+            + [True] * (len(cl_groups) - (1 if full else 0))
+        # A cond whose skip circle covers most of the map is ~always
+        # taken — pure boundary overhead (the r2 small-map cluster
+        # loss). Predicate only clusters whose range is under
+        # DTOWN_LOD_PRED_FRAC (default 0.5) of the map diagonal; the
+        # rest run straight-line (per-prim act masks keep the pixels).
+        diag = math.hypot(plan["Hg"], plan["Wg"]) / plan["ts_inv"]
+        frac = float(os.environ.get("DTOWN_LOD_PRED_FRAC", "0.5"))
+        for gi_, g_ in enumerate(cl_groups):
+            if not cl_pred[gi_] or not g_:
+                continue
+            r_c_ = (_cluster_bounds(g_)[2]
+                    if all(o["npc_idx"] is None for o in g_) else 0.0)
+            rng_ = max(o.get("culld", cull_w) for o in g_) + r_c_
+            if rng_ >= frac * diag:
+                cl_pred[gi_] = False
     else:
         cl_groups = [plan["objs"]]
-        cl_bounds = [None]
+        cl_pred = [False]
+    cl_bounds = [
+        _cluster_bounds(g) if g and all(o["npc_idx"] is None for o in g)
+        else None
+        for g in cl_groups
+    ]
     S = H * W // LANE_N
     s_blk = s_blk or S
     tiled = s_blk != S
@@ -1034,19 +1144,28 @@ def _make_blob_kernel(H, W, plan, epb, grayscale=False, s_blk=None,
                         lmz = lwz_e * c_r - lwx_e * s_r
                     else:
                         lmx, lmy, lmz = ob["l_model"]
-                # scalar distance cull (env-level; sub-pixel beyond cull)
+                # scalar distance cull (env-level; sub-pixel beyond the
+                # object's size-aware culld — falls back to the blanket
+                # obj_cull_dist, render/lod.py)
                 dxo = ox - eye0
                 dzo = oz - eye2
-                act = (dxo * dxo + dzo * dzo) < cull2
+                dist2 = dxo * dxo + dzo * dzo
+                culld_o = float(ob.get("culld", cull_w))
+                act_nd = None  # non-distance gates (map id, opt bit)
                 if ob.get("map") is not None:
-                    act = act & (mid_i == ob["map"])
+                    act_nd = mid_i == ob["map"]
                 if dr and ob["opt_bit"] is not None:
                     # optional-object visibility bit for this env
                     bit = (visbits_e >> ob["opt_bit"]) & 1
-                    act = act & (bit > 0)
+                    b_on = bit > 0
+                    act_nd = b_on if act_nd is None else act_nd & b_on
+                act = dist2 < culld_o * culld_o
+                if act_nd is not None:
+                    act = act & act_nd
 
                 def obj_pass(carry, ob=ob, ox=ox, oy=oy, oz=oz, s_r=s_r,
                              c_r=c_r, lmx=lmx, lmy=lmy, lmz=lmz, act=act,
+                             act_nd=act_nd, dist2=dist2, culld_o=culld_o,
                              inv_s=inv_s, sc=sc):
                     if grayscale:
                         l_, t_best = carry
@@ -1084,28 +1203,43 @@ def _make_blob_kernel(H, W, plan, epb, grayscale=False, s_blk=None,
                         wx = jnp.where(dmx >= 0.0, lmx, -lmx)
                         wy = jnp.where(dy >= 0.0, lmy, -lmy)
                         wz = jnp.where(dmz >= 0.0, lmz, -lmz)
-                    if pred:
-                        # predicated path: this body only runs when act
-                        # is true, so no gate is needed in the t scale
-                        sc_g = jnp.float32(sc)
-                        g_sph = jnp.float32(1.0)
-                    else:
-                        # env-level cull folded into the t scale: a
-                        # culled env gets t_w = t_m * inf = +inf (every
-                        # `closer` gate already requires t_m > 1e-4, and
-                        # NaN sphere misses still compare false), so the
-                        # t_best init of 1e30 always wins. A FINITE fold
-                        # (1e30) was a real bug: sky pixels keep t_best
-                        # at 1e30, and a gated object with t_m < 1 still
-                        # produced t_w < 1e30 — on stacked maps (which
-                        # share world coordinates) another map's tall
-                        # objects bled into the sky rows.
-                        sc_g = jnp.where(act, jnp.float32(sc),
-                                         jnp.float32(jnp.inf))
-                        g_sph = jnp.where(act, jnp.float32(1.0),
-                                          jnp.float32(jnp.inf))
+                    # Per-prim act folded into the t scale: a gated env
+                    # gets t_w = t_m * inf = +inf (every `closer` gate
+                    # already requires t_m > 1e-4, and NaN sphere misses
+                    # still compare false), so the t_best init of 1e30
+                    # always wins. A FINITE fold (1e30) was a real bug:
+                    # sky pixels keep t_best at 1e30, and a gated object
+                    # with t_m < 1 still produced t_w < 1e30 — on
+                    # stacked maps (which share world coordinates)
+                    # another map's tall objects bled into the sky rows.
+                    # Prims tighter than the object's culld (LOD,
+                    # render/lod.py) get their own distance compare —
+                    # scalar-core ops, cached per distinct distance.
+                    # Under pred the cond body only runs when act holds,
+                    # so the object-level gate itself is free.
+                    _gatec = {}
+
+                    def _gates(cd):
+                        key = round(cd, 6)
+                        if key not in _gatec:
+                            if cd >= culld_o * 0.999:
+                                a = None if pred else act
+                            else:
+                                a = dist2 < cd * cd
+                                if not pred and act_nd is not None:
+                                    a = act_nd & a
+                            if a is None:
+                                g = (jnp.float32(sc), jnp.float32(1.0))
+                            else:
+                                g = (jnp.where(a, jnp.float32(sc),
+                                               jnp.float32(jnp.inf)),
+                                     jnp.where(a, jnp.float32(1.0),
+                                               jnp.float32(jnp.inf)))
+                            _gatec[key] = g
+                        return _gatec[key]
 
                     for pr_ in ob["prims"]:
+                        sc_g, g_sph = _gates(pr_.get("culld", culld_o))
                         cx, cy, cz = pr_["center"]
                         p0, p1, p2 = pr_["param"]
                         if pr_.get("is_tri"):
@@ -1287,21 +1421,24 @@ def _make_blob_kernel(H, W, plan, epb, grayscale=False, s_blk=None,
                         carry = p_(carry)
                     return carry
 
-                if cluster_sz and len(groups) > 1:
+                if cl_pred[gi]:
                     # conservative cluster visibility: within cull range
                     # of the member POSITIONS, and not entirely behind
                     # the camera's flat forward half-plane (every ray
                     # has a positive flat-forward component at these
                     # FOV/pitch values, so a hit point p satisfies
                     # fwd.(p-eye) > 0; |p - cc| <= r_vis then bounds
-                    # fwd.(cc-eye) > -r_vis for any visible member)
+                    # fwd.(cc-eye) > -r_vis for any visible member).
+                    # The range is the members' own (LOD-tightened) cull
+                    # distance, not the blanket obj_cull_dist — detail
+                    # bands skip at 1-2.5 m radii (render/lod.py).
                     if g_npc[gi] is None:
                         ccx, ccz, r_c, r_v = cl_bounds[gi]
                     else:
                         ccx, ccz = g_npc[gi]
                         r_c = 0.0
                         r_v = _bound_radius(group[0])
-                    rng = math.sqrt(cull2) + r_c
+                    rng = max(o.get("culld", cull_w) for o in group) + r_c
                     dxc = ccx - eye0
                     dzc = ccz - eye2
                     act_cl = ((dxc * dxc + dzc * dzc < rng * rng)

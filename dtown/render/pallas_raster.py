@@ -521,8 +521,18 @@ def prepare_object_blocks(cfg, maps, state, eye):
     active = active_objects(maps, state)
     dist = jnp.linalg.norm(state.dyn.pos - eye[None, :], axis=-1)
     # distance culling: objects beyond obj_cull_dist are sub-pixel at the
-    # RL resolutions; keeps the act flags meaningful for the kernel
-    active = active & (dist < cfg.obj_cull_dist)
+    # RL resolutions; keeps the act flags meaningful for the kernel.
+    # The size-aware LOD bound (render/lod.py) tightens it per object —
+    # this row-fed path culls at OBJECT granularity only (the fused and
+    # XLA renderers additionally gate per prim; the residue is detail
+    # prims between their own and the object's cull distance, well
+    # inside the renderer-equivalence tolerances).
+    from dtown.render import lod
+
+    kmax = jnp.asarray(lod.kind_culld_max(cfg))
+    slot_cull = jnp.minimum(jnp.float32(cfg.obj_cull_dist),
+                            kmax[maps.obj_kind] * maps.obj_scale)
+    active = active & (dist < slot_cull)
     score = jnp.where(active, -dist, -jnp.inf)
     _, top = jax.lax.top_k(score, Kvis)
 
@@ -953,6 +963,16 @@ def _static_flags(cfg, maps, state, eye, scene):
     slots = jnp.asarray([ob["slot"] for ob in scene], jnp.int32)
     pos = maps.obj_pos[slots]
     dist = jnp.linalg.norm(pos - eye[None, :], axis=-1)
-    act = (dist < cfg.obj_cull_dist).astype(jnp.float32)
+    # object-level size-aware cull (render/lod.py); see
+    # prepare_object_blocks for the granularity note
+    from dtown.render import lod
+
+    kmax = np.asarray(lod.kind_culld_max(cfg))
+    kinds_np = np.asarray(maps.obj_kind)[np.asarray(slots)]
+    scale_np = np.asarray(maps.obj_scale)[np.asarray(slots)]
+    slot_cull = jnp.asarray(
+        np.minimum(float(cfg.obj_cull_dist),
+                   kmax[kinds_np] * scale_np).astype(np.float32))
+    act = (dist < slot_cull).astype(jnp.float32)
     phase = state.dyn.phase[slots].astype(jnp.float32)
     return jnp.stack([act, phase], axis=-1).reshape(-1)

@@ -132,11 +132,13 @@ def _rot_xz(x, z, s, c):
     return x * c + z * s, z * c - x * s
 
 
-def _intersect_prims(o, d, prim):
+def _intersect_prims(o, d, prim, prim_ok=None):
     """Ray vs one object's primitive set, model space.
 
-    o, d: [H, W, 3]; prim arrays are [P, ...]. Returns (t [H,W], normal
-    [H,W,3], color_idx [H,W] int32 in [0,P), hit [H,W]).
+    o, d: [H, W, 3]; prim arrays are [P, ...]. prim_ok: optional [P]
+    bool extra visibility mask (per-prim LOD cull, render/lod.py).
+    Returns (t [H,W], normal [H,W,3], color_idx [H,W] int32 in [0,P),
+    hit [H,W]).
     """
     P = prim["type"].shape[0]
     oc = o[..., None, :] - prim["center"][None, None]      # [H,W,P,3]
@@ -167,6 +169,8 @@ def _intersect_prims(o, d, prim):
     is_box = (prim["type"] == meshlib.BOX)[None, None]
     t_p = jnp.where(is_box, t_box, t_sph)
     hit_p = jnp.where(is_box, box_hit, sph_hit) & prim["mask"][None, None]
+    if prim_ok is not None:
+        hit_p = hit_p & prim_ok[None, None]
     t_p = jnp.where(hit_p, t_p, jnp.inf)
 
     best = jnp.argmin(t_p, axis=-1)                        # [H,W]
@@ -219,7 +223,18 @@ def _render_objects(cfg, maps, state, rays, eye, rgb, t_bg,
         ex[list(exclude_slots)] = True
         active = active & ~jnp.asarray(ex)
     dist = jnp.linalg.norm(state.dyn.pos - eye[None, :], axis=-1)
-    active = active & (dist < cfg.obj_cull_dist)  # sub-pixel beyond this
+    from dtown.render import lod
+
+    # object-level cull: blanket obj_cull_dist tightened by the
+    # size-aware LOD bound of the object's LARGEST prim (render/lod.py)
+    # so fully-sub-pixel objects stop consuming top-K visibility slots
+    kmax = lod.kind_culld_max(cfg)  # [n_kinds], +inf when LOD off
+    slot_cull = jnp.minimum(
+        jnp.float32(cfg.obj_cull_dist),
+        jnp.asarray(kmax)[maps.obj_kind] * maps.obj_scale,
+    )
+    active = active & (dist < slot_cull)  # sub-pixel beyond this
+    culld_base = jnp.asarray(lod.prim_culld_base(cfg))  # [n_kinds, P]
     score = jnp.where(active, -dist, -jnp.inf)
     _, top_idx = jax.lax.top_k(score, Kvis)
 
@@ -244,7 +259,13 @@ def _render_objects(cfg, maps, state, rays, eye, rgb, t_bg,
 
         pk = {key: v[okind] for key, v in prim.items()}
         o_b = jnp.broadcast_to(o_model, d_model.shape)
-        t_m, n_model, best_p, hit = _intersect_prims(o_b, d_model, pk)
+        # per-prim LOD cull (render/lod.py): a prim whose bounding
+        # radius is sub-threshold at this distance never hits — matches
+        # the fused kernel's per-prim act gate
+        prim_ok = dist[m] < jnp.minimum(
+            jnp.float32(cfg.obj_cull_dist), culld_base[okind] * oscale)
+        t_m, n_model, best_p, hit = _intersect_prims(o_b, d_model, pk,
+                                                     prim_ok=prim_ok)
         t_w = t_m * oscale
         closer = hit & (t_w < t_best) & ok
 

@@ -102,6 +102,20 @@ class EnvConfig:
     render_objects: bool = True
     max_visible_objects: int = 8  # nearest-K object culling in the renderer
     obj_cull_dist: float = 4.0  # m; objects farther than this are sub-pixel
+    # Size-aware per-primitive LOD cull (EXTENSION; the reference renders
+    # every mesh at full fidelity at any distance): a primitive whose
+    # model bounding radius subtends fewer than obj_lod_px PIXELS of
+    # vertical resolution is dropped, i.e. its cull distance is
+    # min(obj_cull_dist, r_world / tan(obj_lod_px * fov_y / camera_height))
+    # — resolution-aware, so native 640x480 keeps near-full fidelity
+    # while 64x64 RL frames skip sub-pixel detail prims (duckie eyes,
+    # sign poles) early. The angular threshold uses the NOMINAL fov even
+    # under domain rand (the cull table must be static). 0 disables.
+    # Default 2.0 adopted r5: every probe row (scripts/lod_probe.py,
+    # udem1/loop_obstacles/bigtown x 64/96) passes the gate (mean
+    # |diff| < 1, frac>10 < 1%) with >=10x margin, and it carries the
+    # throughput wins (udem1 +15%, config-4 +21%, driver config +3.4%).
+    obj_lod_px: float = 2.0
     renderer: str = "xla"  # "xla" (vmapped, reference) | "pallas" (fused kernel)
     distortion: bool = False
     # Object mesh fidelity in the XLA renderer: "prims" ray-casts the
