@@ -296,6 +296,11 @@ def make_state_kernel(cfg, Hg, Wg, n_words, M, n_spawn_ok, bb=None,
                 # keeps draws disjoint across (env, step, tag) — tag
                 # offsets cannot alias ctr/env offsets the way additive
                 # tags on a/b could
+                # static guard: the docstring's stream disjointness
+                # relies on these salts staying below the auto-reset
+                # stream's 0x20000000 base; a future tag past ~73 would
+                # silently collide without this (advisor r4)
+                assert 0x10000000 + tag * 0x3779B9 < 0x20000000, tag
                 hv = _hash_u32(
                     rng_ctr.astype(jnp.int32),
                     env_id.astype(jnp.int32),

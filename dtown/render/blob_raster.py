@@ -707,6 +707,18 @@ def _make_blob_kernel(H, W, plan, epb, grayscale=False, s_blk=None,
     packed_g = static_cam and not dr and not grayscale and _pg
     luma_g = static_cam and not dr and grayscale and _pg
     B0 = 0.94  # variant-0 brightness
+    if packed_g:
+        # Borrow-margin with the ACTUAL plan shade folded in: byte and
+        # noise both scale with shade, so the pallas_raster import-time
+        # assert (shade-free) under-constrains low-shade plans — a
+        # per-byte borrow would bleed into the adjacent channel
+        # (advisor r4). >= 2 LSB absorbs the independent roundings.
+        from dtown.render.pallas_raster import _MAX_AMP
+
+        _minc = min(min(c) for c in (YELLOW, WHITE, ASPHALT, GRASS,
+                                     FLOOR, EMPTY))
+        assert (_minc * B0 - _MAX_AMP) * shade >= 2.0 / 255.0, (
+            "packed-ground byte borrow margin at this shade", shade)
 
     def _q8s(c, bright=B0):
         return max(0, min(255, int(round(c * bright * shade * 255.0))))
@@ -1535,7 +1547,11 @@ def render_frames_from_blob(cfg, maps, blob, plan, epb=None,
         # largest sublane-multiple divisor of B below the target, so a
         # 16- or 24-env batch still amortizes over 16/8 envs per
         # program instead of dropping straight to 8
-        epb = max(e for e in range(8, epb, 8) if B % e == 0)
+        divs = [e for e in range(8, epb, 8) if B % e == 0]
+        # no sublane-multiple divisor (e.g. B not a multiple of 8):
+        # fall through to the descriptive assert below instead of an
+        # opaque empty-sequence max() (advisor r4)
+        epb = divs[-1] if divs else 8
     assert B % epb == 0 and epb % 8 == 0, (B, epb)
     C = 1 if cfg.grayscale else 3
     # Frame row-tiling: above ~256 sublane rows per plane (64x64 has 32;

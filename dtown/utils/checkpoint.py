@@ -122,16 +122,27 @@ def restore_any(path: str):
     ckptr = ocp.StandardCheckpointer()
     try:
         return ckptr.restore(resolve(path))
-    except ValueError:
+    except Exception as direct_err:  # noqa: BLE001 — see below
         # Cross-backend restore (e.g. a TPU-trained checkpoint opened on
         # a CPU-only eval host): the recorded device shardings don't
         # resolve, so fall back to restoring every leaf as host numpy —
-        # jit re-places them on first use.
-        import numpy as _np
+        # jit re-places them on first use. orbax surfaces the sharding
+        # -resolution failure as ValueError on some versions but other
+        # types on others (advisor r4), so catch broadly, log which
+        # path ran, and chain the original error if the numpy fallback
+        # fails too (a genuinely corrupt checkpoint still raises).
+        try:
+            import numpy as _np
 
-        pt = ocp.PyTreeCheckpointer()
-        meta = pt.metadata(resolve(path)).item_metadata
-        restore_args = jax.tree_util.tree_map(
-            lambda _: ocp.RestoreArgs(restore_type=_np.ndarray), meta
-        )
-        return pt.restore(resolve(path), restore_args=restore_args)
+            pt = ocp.PyTreeCheckpointer()
+            meta = pt.metadata(resolve(path)).item_metadata
+            restore_args = jax.tree_util.tree_map(
+                lambda _: ocp.RestoreArgs(restore_type=_np.ndarray), meta
+            )
+            out = pt.restore(resolve(path), restore_args=restore_args)
+        except Exception:
+            raise direct_err
+        logging.getLogger(__name__).info(
+            "restore_any: direct restore failed (%s: %s); used the "
+            "host-numpy fallback", type(direct_err).__name__, direct_err)
+        return out
