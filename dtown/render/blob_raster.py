@@ -189,9 +189,13 @@ def build_render_plan(cfg, maps):
             # _build_clusters (which splits per map id first) keeps one
             # cluster per map — unless a member map is itself spatially
             # clustered (>24 objects), then keep its finer granularity.
+            # max_per counts PSEUDO objects (LOD band splitting), so a
+            # small member map stays ONE cluster = one cond per map
+            # (counting real objects split udem1's group in two and
+            # cost the 3-map stack 2%, r5)
             cluster=(min(p["cluster"] for p in per if p["cluster"])
                      if any(p["cluster"] for p in per)
-                     else max(1, max(p["n_real"] for p in per))),
+                     else max(1, max(len(p["objs"]) for p in per))),
         )
         return plan
     try:
@@ -355,6 +359,7 @@ def build_render_plan(cfg, maps):
     Hg, Wg = maps.grid_shape
     return dict(
         domain_rand=bool(cfg.domain_rand),
+        aa=bool(getattr(cfg, "marking_aa", True)),
         n_real=n_objects,
         n_npc=len(npcs),
         n_opt=kbit,
@@ -706,7 +711,20 @@ def _make_blob_kernel(H, W, plan, epb, grayscale=False, s_blk=None,
     _pg = os.environ.get("DTOWN_PACKED_GROUND", "1") != "0"
     packed_g = static_cam and not dr and not grayscale and _pg
     luma_g = static_cam and not dr and grayscale and _pg
+    # analytic marking AA (cfg.marking_aa via the plan; DTOWN_MARKING_AA
+    # is the A/B off-switch). Skipped entirely when the map has no
+    # marking kinds — coverage and boolean masks are then identical.
+    aa_g = (bool(plan.get("aa", True))
+            and os.environ.get("DTOWN_MARKING_AA", "1") != "0"
+            and any(kk in present
+                    for kk in range(T.TILE_STRAIGHT, T.TILE_4WAY + 1)))
     B0 = 0.94  # variant-0 brightness
+    # prim-fold pairing group size (see obj_pass): 0/1 = sequential
+    # fold; 2/4 = tree-combine groups before the carry fold. Default 2
+    # (r5 A/B: driver config +2.2%, config-4 +5.3%, udem1 neutral —
+    # the serial compare/select chain over prims was a real stall;
+    # groups of 4 measured no better than 2 where they ran clean).
+    pair_sz = int(os.environ.get("DTOWN_PRIM_PAIR", "2") or 0)
     if packed_g:
         # Borrow-margin with the ACTUAL plan shade folded in: byte and
         # noise both scale with shade, so the pallas_raster import-time
@@ -736,10 +754,13 @@ def _make_blob_kernel(H, W, plan, epb, grayscale=False, s_blk=None,
         kk in present for kk in range(T.TILE_STRAIGHT, T.TILE_4WAY + 1))
 
     def _luma_ground(yellow, white, is_road, is_grass, is_floor, like,
-                     scale):
+                     scale, aa=False):
         """Present-aware luma base+marking select chain, shared by the
         static luma path (scale = B0*shade folded) and the DR path
-        (scale = 1, brightness applied per pixel afterwards)."""
+        (scale = 1, brightness applied per pixel afterwards). With
+        aa, yellow/white are coverages (already composited by
+        _tile_masks) and the markings blend as deltas from asphalt —
+        exact, since markings only exist on road kinds."""
         sels = [(m, _lum(c3) * scale) for kk, m, c3 in
                 ((T.TILE_FLOOR, is_floor, FLOOR),
                  (T.TILE_GRASS, is_grass, GRASS))
@@ -753,7 +774,10 @@ def _make_blob_kernel(H, W, plan, epb, grayscale=False, s_blk=None,
             sels = sels[1:]
         for m, lv in sels:
             l_ = jnp.where(m, lv, l_)
-        if marking_present:
+        if marking_present and aa:
+            l_ = (l_ + yellow * ((_lum(YELLOW) - _lum(ASPHALT)) * scale)
+                  + white * ((_lum(WHITE) - _lum(ASPHALT)) * scale))
+        elif marking_present:
             l_ = jnp.where(yellow, _lum(YELLOW) * scale, l_)
             l_ = jnp.where(white, _lum(WHITE) * scale, l_)
         return l_
@@ -934,6 +958,18 @@ def _make_blob_kernel(H, W, plan, epb, grayscale=False, s_blk=None,
                     hits_ground, -eye1 / jnp.where(hits_ground, dy, -1.0),
                     jnp.float32(1e30),
                 )
+            if aa_g:
+                # marking AA (shading.line_coverage): reciprocal ground
+                # footprint in tile units. 1/t = -dy/eye1 on ground
+                # rays, so the whole thing is one per-env scalar fold
+                # (k_fw) times the dy plane — no vector divide. Sky
+                # lanes get inv_fw = 0 (masked by the sky select).
+                k_fw = (H * 0.5) / tany_e / ts_inv / eye1
+                # no max(-dy, 0): sky lanes produce garbage coverage
+                # that the in_grid/sky selects overwrite wholesale
+                inv_fw = -dy * k_fw
+            else:
+                inv_fw = None
             fx = (eye0 + t_g * dx) * ts_inv
             fz = (eye2 + t_g * dz) * ts_inv
             ti = jnp.floor(fx)
@@ -956,7 +992,7 @@ def _make_blob_kernel(H, W, plan, epb, grayscale=False, s_blk=None,
             if packed_g or luma_g:
                 yellow, white, is_road, is_grass, is_floor, bu_, bv_ = \
                     _tile_masks(kind, angle_idx, fx - ti, fz - tj,
-                                present=present)
+                                present=present, inv_fw=inv_fw)
                 # achromatic noise term (variant 0); amp select skips
                 # absent kinds
                 nrm = _noise_h16f(bu_, bv_, kind, 0) * (1.0 / 32768.0) \
@@ -984,7 +1020,27 @@ def _make_blob_kernel(H, W, plan, epb, grayscale=False, s_blk=None,
                     sels = sels[1:]
                 for m, pkv in sels:
                     col = jnp.where(m, pkv, col)
-                if marking_present:
+                if marking_present and aa_g:
+                    # AA: additive per-channel deltas from asphalt in
+                    # the packed word (markings only exist on road, so
+                    # the base byte under nonzero coverage is always
+                    # the asphalt byte; each byte's total stays in
+                    # range, so the int32 adds never carry/borrow
+                    # across fields — same argument as the noise add)
+                    qy = yellow * (255.0 * B0 * shade)
+                    qw = white * (255.0 * B0 * shade)
+                    dlt = [(YELLOW[i] - ASPHALT[i],
+                            WHITE[i] - ASPHALT[i]) for i in range(3)]
+                    wch = {}
+                    ch = []
+                    for dy_c, dw_c in dlt:
+                        # white's R/G deltas are equal — share the term
+                        if dw_c not in wch:
+                            wch[dw_c] = (qw * dw_c).astype(jnp.int32)
+                        ch.append((qy * dy_c).astype(jnp.int32)
+                                  + wch[dw_c])
+                    col = col + (ch[0] << 16) + (ch[1] << 8) + ch[2]
+                elif marking_present:
                     col = jnp.where(yellow, _pks(YELLOW), col)
                     col = jnp.where(white, _pks(WHITE), col)
                 ni = (nrm * ampv).astype(jnp.int32)
@@ -996,7 +1052,7 @@ def _make_blob_kernel(H, W, plan, epb, grayscale=False, s_blk=None,
                 # luma constants (no RGB materialization at all);
                 # brightness (variant 0) and shade fold into the chain
                 l_ = _luma_ground(yellow, white, is_road, is_grass,
-                                  is_floor, fx, B0 * shade)
+                                  is_floor, fx, B0 * shade, aa=aa_g)
                 l_ = l_ + nrm * ampv
                 l_ = jnp.where(in_grid, l_, _lum((gr, gg, gb)) * shade)
                 l_ = jnp.where(gmask_p, l_, sky_l_p)
@@ -1014,9 +1070,9 @@ def _make_blob_kernel(H, W, plan, epb, grayscale=False, s_blk=None,
                 variant = variant_hash(tid, seed_e)
                 yellow, white, is_road, is_grass, is_floor, bu_, bv_ = \
                     _tile_masks(kind, angle_idx, fx - ti, fz - tj,
-                                present=present)
+                                present=present, inv_fw=inv_fw)
                 l_ = _luma_ground(yellow, white, is_road, is_grass,
-                                  is_floor, fx, 1.0)
+                                  is_floor, fx, 1.0, aa=aa_g)
                 bright = 0.94 + 0.04 * variant.astype(f32)
                 nrm = _noise_h16f(bu_, bv_, kind, variant) \
                     * (1.0 / 32768.0) - 1.0
@@ -1046,7 +1102,8 @@ def _make_blob_kernel(H, W, plan, epb, grayscale=False, s_blk=None,
                     variant = 0
                 r_, g_, b_ = _shade_pixels(kind, angle_idx, variant,
                                            fx - ti, fz - tj,
-                                           present=present)
+                                           present=present,
+                                           inv_fw=inv_fw)
                 r_ = jnp.where(in_grid, r_, gr_e) * shade_e
                 g_ = jnp.where(in_grid, g_, gg_e) * shade_e
                 b_ = jnp.where(in_grid, b_, gb_e) * shade_e
@@ -1250,6 +1307,7 @@ def _make_blob_kernel(H, W, plan, epb, grayscale=False, s_blk=None,
                             _gatec[key] = g
                         return _gatec[key]
 
+                    _cands = []
                     for pr_ in ob["prims"]:
                         sc_g, g_sph = _gates(pr_.get("culld", culld_o))
                         cx, cy, cz = pr_["center"]
@@ -1283,10 +1341,9 @@ def _make_blob_kernel(H, W, plan, epb, grayscale=False, s_blk=None,
                                 * inv_det
                             t_m = (e2x * qvx + e2y * qvy + e2z * qvz) \
                                 * inv_det
-                            hit = ((u_b >= 0.0) & (v_b >= 0.0)
-                                   & (u_b + v_b <= 1.0) & (t_m > 1e-4))
+                            ok_p = ((u_b >= 0.0) & (v_b >= 0.0)
+                                    & (u_b + v_b <= 1.0) & (t_m > 1e-4))
                             t_w = t_m * sc_g
-                            closer = hit & (t_w < t_best)
                         elif pr_["is_box"]:
                             ocx = emx - cx
                             ocy = ey - cy
@@ -1311,9 +1368,8 @@ def _make_blob_kernel(H, W, plan, epb, grayscale=False, s_blk=None,
                             # (tmax>=max(tmin,1e-4) & t_m>1e-4): entry
                             # case t_m=tmin>1e-4; inside case tmax>tmin
                             # holds whenever tmax>1e-4>=tmin
-                            hit = (tmax >= tmin) & (tmax > 1e-4)
+                            ok_p = (tmax >= tmin) & (tmax > 1e-4)
                             t_w = t_m * sc_g
-                            closer = hit & (t_w < t_best)
                         else:
                             # WORLD-space sphere: no per-object ray/light
                             # rotation. World center from the baked model
@@ -1336,7 +1392,7 @@ def _make_blob_kernel(H, W, plan, epb, grayscale=False, s_blk=None,
                             # then false and the selects keep the carry
                             t_m = -bq - jnp.sqrt(disc)
                             t_w = t_m * g_sph
-                            closer = (t_m > 1e-4) & (t_w < t_best)
+                            ok_p = t_m > 1e-4
 
                         if pr_.get("is_tri"):
                             # flat two-sided shading: the face normal is
@@ -1398,13 +1454,57 @@ def _make_blob_kernel(H, W, plan, epb, grayscale=False, s_blk=None,
                         if grayscale:
                             # luma-only object pass: one shaded plane
                             # select per prim instead of three
-                            cl_l = (0.299 * cr_l + 0.587 * cg_l
-                                    + 0.114 * cb_l)
-                            l_ = jnp.where(closer, cl_l * sh, l_)
+                            payload = ((0.299 * cr_l + 0.587 * cg_l
+                                        + 0.114 * cb_l) * sh,)
                         else:
-                            pk_ = jnp.where(closer, pkc, pk_)
-                            dv_ = jnp.where(closer, dv, dv_)
-                        t_best = jnp.where(closer, t_w, t_best)
+                            payload = (pkc, dv)
+                        if pair_sz >= 2:
+                            # prim-pairing experiment (r5, VERDICT item
+                            # 5): the sequential fold is a SERIAL
+                            # compare/select chain over all prims; the
+                            # candidate (t, payload) form tree-combines
+                            # pair_sz prims first (same op count,
+                            # 1/pair_sz the critical-path length), then
+                            # folds once into the carry. Invalid prims
+                            # carry t=+inf, which loses to the 1e30
+                            # carry init and every real hit.
+                            _cands.append(
+                                (jnp.where(ok_p, t_w,
+                                           jnp.float32(jnp.inf)),
+                                 payload))
+                        else:
+                            closer = ok_p & (t_w < t_best)
+                            if grayscale:
+                                l_ = jnp.where(closer, payload[0], l_)
+                            else:
+                                pk_ = jnp.where(closer, payload[0], pk_)
+                                dv_ = jnp.where(closer, payload[1], dv_)
+                            t_best = jnp.where(closer, t_w, t_best)
+                        if _cands and (len(_cands) == pair_sz
+                                       or pr_ is ob["prims"][-1]):
+                            while len(_cands) > 1:
+                                nxt = []
+                                for a_i in range(0, len(_cands) - 1, 2):
+                                    ta, pa = _cands[a_i]
+                                    tb, pb = _cands[a_i + 1]
+                                    bb = tb < ta
+                                    nxt.append((
+                                        jnp.minimum(ta, tb),
+                                        tuple(jnp.where(bb, y, x)
+                                              for x, y in zip(pa, pb)),
+                                    ))
+                                if len(_cands) % 2:
+                                    nxt.append(_cands[-1])
+                                _cands = nxt
+                            t_c, pay = _cands[0]
+                            _cands = []
+                            closer = t_c < t_best
+                            if grayscale:
+                                l_ = jnp.where(closer, pay[0], l_)
+                            else:
+                                pk_ = jnp.where(closer, pay[0], pk_)
+                                dv_ = jnp.where(closer, pay[1], dv_)
+                            t_best = jnp.where(closer, t_c, t_best)
                     return ((l_, t_best) if grayscale
                             else (pk_, dv_, t_best))
 

@@ -82,7 +82,7 @@ assert min(min(c) for c in (YELLOW, WHITE, ASPHALT, GRASS, FLOOR, EMPTY)) \
     * 0.94 - _MAX_AMP >= 2.0 / 255.0, "packed-ground byte borrow margin"
 
 
-def _tile_masks(kind, angle_idx, u, v, present=None):
+def _tile_masks(kind, angle_idx, u, v, present=None, inv_fw=None):
     """Marking/base-kind masks in base orientation, shared by the float
     (_shade_pixels), packed-u8 and luma-constant ground shaders.
 
@@ -90,6 +90,9 @@ def _tile_masks(kind, angle_idx, u, v, present=None):
     present: optional set of tile-kind ids present in the map — marking
     math for absent kinds is statically dropped (the map is a
     compile-time constant of the kernel).
+    inv_fw: optional per-pixel reciprocal ground footprint (tile units)
+    — yellow/white then come back as box-filter COVERAGES in [0, 1]
+    (analytic marking AA, shading.line_coverage) instead of booleans.
 
     Difference from shading.shade_tile, covered by the blob-vs-XLA
     tolerance: the arc dash phase uses the linear |dz|-|dx| angle proxy
@@ -99,7 +102,8 @@ def _tile_masks(kind, angle_idx, u, v, present=None):
     if present is None:
         present = set(range(16))
     have = lambda k_: k_ in present
-    FALSE = jnp.zeros_like(u) > 1.0
+    aa = inv_fw is not None
+    FALSE = jnp.zeros_like(u) if aa else (jnp.zeros_like(u) > 1.0)
     # rotate uv to base orientation: angle in {0,1,2,3}
     c = jnp.where(angle_idx == 0, 1.0, jnp.where(angle_idx == 2, -1.0, 0.0))
     s = jnp.where(angle_idx == 1, 1.0, jnp.where(angle_idx == 3, -1.0, 0.0))
@@ -109,16 +113,41 @@ def _tile_masks(kind, angle_idx, u, v, present=None):
     bv = dv * c + du * s + 0.5
 
     half_w = LINE_W / 2
+    if aa:
+        # cap = 2*half_w*inv_fw of the default line width, shared by
+        # every marking band (only intersection stop bars differ)
+        _cap_l = LINE_W * inv_fw
 
-    def line(d):
-        return jnp.abs(d) < half_w
+    def line(d, hw=half_w):
+        if aa:
+            # shading.line_coverage with the upper 1-clamp DEFERRED to
+            # the per-color composite (min(mask, 1) below) — one fewer
+            # op on every band (AA op-diet r5)
+            cap = _cap_l if hw == half_w else (2.0 * hw) * inv_fw
+            return jnp.maximum(
+                jnp.minimum((hw - jnp.abs(d)) * inv_fw + 0.5, cap), 0.0)
+        return jnp.abs(d) < hw
+
+    def edge_pair(x):
+        # the two white edge lines sit symmetric about 0.5 (inset and
+        # 1-inset), so ONE band in |x - 0.5| covers both: half the
+        # coverage calls of the naive bor(line, line) (AA op-diet r5)
+        return line(jnp.abs(x - 0.5) - (0.5 - EDGE_INSET))
+
+    def gate(cov, b):
+        # coverage restricted to a boolean region (dash phase, stub
+        # half-planes): region bounds run along the band, stay hard
+        return cov * b if aa else (cov & b)
+
+    def bor(a, b):
+        return a + b if aa else (a | b)
 
     def dashed(p):
         return (p / DASH_PERIOD) % 1.0 < DASH_DUTY
 
     if have(T.TILE_STRAIGHT):
-        straight_center = line(bu - 0.5) & dashed(bv)
-        straight_edge = line(bu - EDGE_INSET) | line(bu - (1 - EDGE_INSET))
+        straight_center = gate(line(bu - 0.5), dashed(bv))
+        straight_edge = edge_pair(bu)
     else:
         straight_center = straight_edge = FALSE
 
@@ -130,10 +159,10 @@ def _tile_masks(kind, angle_idx, u, v, present=None):
         # approximated monotonically by (1 + (|dz|-|dx|)/r) * (pi/4) —
         # exact at the endpoints and midpoint, divide-free (the earlier
         # |dz|/(|dx|+|dz|) proxy cost a vector divide per arc)
-        center = line(r - 0.5) & dashed(
+        center = gate(line(r - 0.5), dashed(
             (r + (jnp.abs(dz) - jnp.abs(dx))) * 0.78539816
-        )
-        edge = line(r - EDGE_INSET) | line(r - (1 - EDGE_INSET))
+        ))
+        edge = edge_pair(r)
         return center, edge
 
     cl_center, cl_edge = arc(1.0, 0.0) if have(T.TILE_CURVE_LEFT) else (FALSE, FALSE)
@@ -143,21 +172,27 @@ def _tile_masks(kind, angle_idx, u, v, present=None):
     K = T
     any_x = have(K.TILE_3WAY_LEFT) or have(K.TILE_3WAY_RIGHT) or have(K.TILE_4WAY)
     if any_x:
-        zm_m = line(bu - 0.5) & (bv < 0.5)
-        zp_m = line(bu - 0.5) & (bv >= 0.5)
-        xm_m = line(bv - 0.5) & (bu < 0.5)
-        xp_m = line(bv - 0.5) & (bu >= 0.5)
-        zm_s = (jnp.abs(bv - 0.08) < 0.02) & (bu > 0.5) & (bu < 0.8)
-        zp_s = (jnp.abs(bv - 0.92) < 0.02) & (bu > 0.2) & (bu < 0.5)
-        xm_s = (jnp.abs(bu - 0.08) < 0.02) & (bv > 0.2) & (bv < 0.5)
-        xp_s = (jnp.abs(bu - 0.92) < 0.02) & (bv > 0.5) & (bv < 0.8)
+        zm_m = gate(line(bu - 0.5), bv < 0.5)
+        zp_m = gate(line(bu - 0.5), bv >= 0.5)
+        xm_m = gate(line(bv - 0.5), bu < 0.5)
+        xp_m = gate(line(bv - 0.5), bu >= 0.5)
+        zm_s = gate(line(bv - 0.08, 0.02), (bu > 0.5) & (bu < 0.8))
+        zp_s = gate(line(bv - 0.92, 0.02), (bu > 0.2) & (bu < 0.5))
+        xm_s = gate(line(bu - 0.08, 0.02), (bv > 0.2) & (bv < 0.5))
+        xp_s = gate(line(bu - 0.92, 0.02), (bv > 0.5) & (bv < 0.8))
         dash_uv = dashed(bu + bv)
-    k3l_center = (zm_m | zp_m | xp_m) & dash_uv if have(K.TILE_3WAY_LEFT) else FALSE
-    k3r_center = (zm_m | zp_m | xm_m) & dash_uv if have(K.TILE_3WAY_RIGHT) else FALSE
-    k4_center = (zm_m | zp_m | xm_m | xp_m) & dash_uv if have(K.TILE_4WAY) else FALSE
-    k3l_stop = (zm_s | zp_s | xp_s) if have(K.TILE_3WAY_LEFT) else FALSE
-    k3r_stop = (zm_s | zp_s | xm_s) if have(K.TILE_3WAY_RIGHT) else FALSE
-    k4_stop = (zm_s | zp_s | xm_s | xp_s) if have(K.TILE_4WAY) else FALSE
+    k3l_center = gate(bor(bor(zm_m, zp_m), xp_m), dash_uv) \
+        if have(K.TILE_3WAY_LEFT) else FALSE
+    k3r_center = gate(bor(bor(zm_m, zp_m), xm_m), dash_uv) \
+        if have(K.TILE_3WAY_RIGHT) else FALSE
+    k4_center = gate(bor(bor(zm_m, zp_m), bor(xm_m, xp_m)), dash_uv) \
+        if have(K.TILE_4WAY) else FALSE
+    k3l_stop = bor(bor(zm_s, zp_s), xp_s) \
+        if have(K.TILE_3WAY_LEFT) else FALSE
+    k3r_stop = bor(bor(zm_s, zp_s), xm_s) \
+        if have(K.TILE_3WAY_RIGHT) else FALSE
+    k4_stop = bor(bor(zm_s, zp_s), bor(xm_s, xp_s)) \
+        if have(K.TILE_4WAY) else FALSE
 
     is_road = (k >= K.TILE_STRAIGHT) & (k <= K.TILE_ASPHALT)
 
@@ -166,8 +201,12 @@ def _tile_masks(kind, angle_idx, u, v, present=None):
         for cond, mask in terms:
             if not have(cond):
                 continue
-            t_ = (k == cond) & mask
-            out = t_ if out is None else (out | t_)
+            if aa:
+                t_ = jnp.where(k == cond, mask, 0.0)
+                out = t_ if out is None else (out + t_)
+            else:
+                t_ = (k == cond) & mask
+                out = t_ if out is None else (out | t_)
         return out if out is not None else FALSE
 
     yellow = orsum([
@@ -180,6 +219,16 @@ def _tile_masks(kind, angle_idx, u, v, present=None):
         (K.TILE_CURVE_RIGHT, cr_edge), (K.TILE_3WAY_LEFT, k3l_stop),
         (K.TILE_3WAY_RIGHT, k3r_stop), (K.TILE_4WAY, k4_stop),
     ])
+    if aa:
+        # white composites over yellow; sums of disjoint bands can
+        # touch only in the far field where the tent ramps widen.
+        # yellow/white overlap exists only on intersection tiles (stop
+        # bars cross center stubs); maps without them skip the
+        # compositing product
+        white = jnp.minimum(white, 1.0)
+        yellow = jnp.minimum(yellow, 1.0)
+        if any_x:
+            yellow = yellow * (1.0 - white)
 
     is_grass = k == K.TILE_GRASS
     is_floor = k == K.TILE_FLOOR
@@ -209,7 +258,8 @@ def _noise_h16f(bu, bv, kind, variant):
     return (h & 0xFFFF).astype(f32)
 
 
-def _shade_pixels(kind, angle_idx, variant, u, v, present=None):
+def _shade_pixels(kind, angle_idx, variant, u, v, present=None,
+                  inv_fw=None):
     """Kernel-safe port of shading.shade_tile (no arctan2, no tables).
 
     present: optional set of tile-kind ids present in the map — marking
@@ -226,7 +276,7 @@ def _shade_pixels(kind, angle_idx, variant, u, v, present=None):
     """
     f32 = jnp.float32
     yellow, white, is_road, is_grass, is_floor, bu, bv = _tile_masks(
-        kind, angle_idx, u, v, present)
+        kind, angle_idx, u, v, present, inv_fw=inv_fw)
 
     def chan(ci):
         base = jnp.where(
@@ -234,6 +284,12 @@ def _shade_pixels(kind, angle_idx, variant, u, v, present=None):
             jnp.where(is_grass, GRASS[ci],
                       jnp.where(is_floor, FLOOR[ci], EMPTY[ci])),
         )
+        if inv_fw is not None:
+            # AA: markings only exist on asphalt road kinds, so a
+            # delta-from-asphalt blend is exact (yellow already
+            # composited under white by _tile_masks)
+            return (base + yellow * (YELLOW[ci] - ASPHALT[ci])
+                    + white * (WHITE[ci] - ASPHALT[ci]))
         out = jnp.where(yellow, YELLOW[ci], base)
         return jnp.where(white, WHITE[ci], out)
 
@@ -268,7 +324,7 @@ def _ndc_planes(H, W, sublanes, fisheye):
 
 
 def _make_kernel(H, W, Hg, Wg, n_words, Kvis, sublanes, present=None,
-                 fisheye=False):
+                 fisheye=False, aa=True):
     """Build the kernel fn for static image/map dims."""
     ndc = _ndc_planes(H, W, sublanes, fisheye)
 
@@ -335,8 +391,15 @@ def _make_kernel(H, W, Hg, Wg, n_words, Kvis, sublanes, present=None,
 
         u = fx - ti
         v = fz - tj
+        if aa:
+            # marking AA: reciprocal ground footprint (tile units);
+            # 1/t = -dy/eye1 on ground rays, so no vector divide
+            k_fw = H / (2.0 * cam[0, 0, C_TANY]) / ts_inv / eye1
+            inv_fw = jnp.maximum(-dy, 0.0) * k_fw
+        else:
+            inv_fw = None
         r_, g_, b_ = _shade_pixels(kind, angle_idx, variant, u, v,
-                                   present=present)
+                                   present=present, inv_fw=inv_fw)
 
         # out-of-grid ground -> env ground color; shade by light
         shade = cam[0, 0, C_SHADE]
@@ -685,7 +748,9 @@ def render_frames_pallas(cfg, maps, states, interpret=None):
 
     if scene is not None:
         kernel = _make_kernel_static(H, W, Hg, Wg, n_words, S, present,
-                                     scene, fisheye=cfg.distortion)
+                                     scene, fisheye=cfg.distortion,
+                                     aa=bool(getattr(cfg, "marking_aa",
+                                                     True)))
         out = pl.pallas_call(
             kernel,
             out_shape=jax.ShapeDtypeStruct((B, 3, S, LANE_N), jnp.uint8),
@@ -702,6 +767,7 @@ def render_frames_pallas(cfg, maps, states, interpret=None):
         )(cam, words, flags)
     else:
         kernel = _make_kernel(H, W, Hg, Wg, n_words, Kvis, S,
+                              aa=bool(getattr(cfg, "marking_aa", True)),
                               present=present, fisheye=cfg.distortion)
         out = pl.pallas_call(
             kernel,
@@ -792,6 +858,7 @@ def _build_static_scene(cfg, maps):
 
 
 def _make_kernel_static(H, W, Hg, Wg, n_words, sublanes, present, scene,
+                        aa=True,
                         fisheye=False):
     """Kernel with the object scene baked in (see _build_static_scene)."""
     ndc = _ndc_planes(H, W, sublanes, fisheye)
@@ -849,8 +916,14 @@ def _make_kernel_static(H, W, Hg, Wg, n_words, sublanes, present, scene,
         angle_idx = (byte >> 4) & 0x3
         variant = (byte >> 6) & 0x3
 
+        if aa:
+            k_fw = H / (2.0 * cam[0, 0, C_TANY]) / ts_inv / eye1
+            inv_fw = jnp.maximum(-dy, 0.0) * k_fw
+        else:
+            inv_fw = None
         r_, g_, b_ = _shade_pixels(kind, angle_idx, variant, fx - ti,
-                                   fz - tj, present=present)
+                                   fz - tj, present=present,
+                                   inv_fw=inv_fw)
         shade = cam[0, 0, C_SHADE]
         r_ = jnp.where(in_grid, r_, cam[0, 0, C_GND]) * shade
         g_ = jnp.where(in_grid, g_, cam[0, 0, C_GND + 1]) * shade
@@ -967,12 +1040,12 @@ def _static_flags(cfg, maps, state, eye, scene):
     # prepare_object_blocks for the granularity note
     from dtown.render import lod
 
-    kmax = np.asarray(lod.kind_culld_max(cfg))
-    kinds_np = np.asarray(maps.obj_kind)[np.asarray(slots)]
-    scale_np = np.asarray(maps.obj_scale)[np.asarray(slots)]
-    slot_cull = jnp.asarray(
-        np.minimum(float(cfg.obj_cull_dist),
-                   kmax[kinds_np] * scale_np).astype(np.float32))
+    # jnp (not numpy) indexing: maps arrays are traced under jit in the
+    # step_batch pallas path
+    kmax = jnp.asarray(lod.kind_culld_max(cfg))
+    slot_cull = jnp.minimum(
+        jnp.float32(cfg.obj_cull_dist),
+        kmax[maps.obj_kind[slots]] * maps.obj_scale[slots])
     act = (dist < slot_cull).astype(jnp.float32)
     phase = state.dyn.phase[slots].astype(jnp.float32)
     return jnp.stack([act, phase], axis=-1).reshape(-1)

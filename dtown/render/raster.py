@@ -106,7 +106,19 @@ def _ground_color(cfg, maps, state, rays, eye):
 
     u = px / ts - fi
     v = pz / ts - fj
-    texel = shade_tile(kind, tangle, variant, u, v)
+    if getattr(cfg, "marking_aa", True):
+        # analytic marking AA (shading.line_coverage): per-pixel ground
+        # footprint fw = t * pixel_angle / tile_size in tile units;
+        # 1/t = -dy/eye_y on ground rays, so inv_fw needs no divide.
+        # Identical formula in the fused kernel (blob_raster).
+        H = dy.shape[0]
+        px_ang = 2.0 * jnp.tan(0.5 * jnp.deg2rad(state.cam_fov_y)) / H
+        # no max(-dy, 0): sky rays produce garbage coverage that the
+        # hits_ground select overwrites wholesale
+        inv_fw = -dy / (eye[1] * px_ang) * ts
+    else:
+        inv_fw = None
+    texel = shade_tile(kind, tangle, variant, u, v, inv_fw=inv_fw)
 
     # out-of-grid ground uses the (randomizable) ground color
     ground_rgb = jnp.where(in_grid[..., None], texel,
@@ -499,9 +511,12 @@ def render_top_down(cfg, maps, state):
     from dtown import physics
 
     # the overhead camera is ~10 m up: disable the first-person
-    # distance/nearest-K object culling (and fisheye) for this view
+    # distance/nearest-K object culling, the per-prim LOD cull (its
+    # angular threshold is calibrated for the first-person camera — at
+    # 10 m it would blank every small object; caught by
+    # test_topdown.py::test_top_down_objects_visible, r5) and fisheye
     cfg = dataclasses.replace(
-        cfg, obj_cull_dist=1e9,
+        cfg, obj_cull_dist=1e9, obj_lod_px=0.0,
         max_visible_objects=int(maps.obj_mask.shape[-1]),
         distortion=False,
     )

@@ -116,6 +116,15 @@ class EnvConfig:
     # |diff| < 1, frac>10 < 1%) with >=10x margin, and it carries the
     # throughput wins (udem1 +15%, config-4 +21%, driver config +3.4%).
     obj_lod_px: float = 2.0
+    # Analytic anti-aliasing of lane-marking edges — the TPU-native
+    # counterpart of the reference's multisample FBO resolve (SURVEY
+    # §2.6 create_frame_buffers(w, h, samples)): marking masks become
+    # exact box-filter coverages over the per-pixel ground footprint
+    # (render/shading.py::line_coverage), so one-pixel markings ramp
+    # instead of staircasing/shimmering at RL resolutions. Applied by
+    # every renderer; object silhouettes stay 1-sample (the reference's
+    # MSAA also mattered most on the high-contrast road markings).
+    marking_aa: bool = True
     renderer: str = "xla"  # "xla" (vmapped, reference) | "pallas" (fused kernel)
     distortion: bool = False
     # Object mesh fidelity in the XLA renderer: "prims" ray-casts the

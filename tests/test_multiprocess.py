@@ -42,28 +42,41 @@ def _free_port():
 
 @pytest.mark.slow
 def test_two_process_distributed_ppo(tmp_path):
-    port = _free_port()
     env = dict(os.environ)
     env["PYTHONPATH"] = os.path.dirname(os.path.dirname(_WORKER))
     # the workers set their own XLA_FLAGS/JAX_PLATFORMS; drop the
     # suite's 8-device flag so each worker gets its own 4-device value
     env.pop("XLA_FLAGS", None)
-    procs = [
-        subprocess.Popen(
-            [sys.executable, _WORKER, str(r), str(port), str(tmp_path)],
-            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
-        )
-        for r in range(2)
-    ]
-    outs = []
-    for p in procs:
-        try:
-            out, _ = p.communicate(timeout=900)
-        except subprocess.TimeoutExpired:
-            for q in procs:
-                q.kill()
-            raise
-        outs.append(out.decode(errors="replace"))
+
+    def run_once():
+        port = _free_port()
+        procs = [
+            subprocess.Popen(
+                [sys.executable, _WORKER, str(r), str(port),
+                 str(tmp_path)],
+                env=env, stdout=subprocess.PIPE,
+                stderr=subprocess.STDOUT,
+            )
+            for r in range(2)
+        ]
+        outs = []
+        for p in procs:
+            try:
+                out, _ = p.communicate(timeout=900)
+            except subprocess.TimeoutExpired:
+                for q in procs:
+                    q.kill()
+                raise
+            outs.append(out.decode(errors="replace"))
+        return procs, outs
+
+    # gloo's cross-process collectives run a fixed ~30 s handshake
+    # timeout; when the suite machine is saturated one worker can reach
+    # a barrier >30 s after the other and fail spuriously. One retry
+    # distinguishes that scheduling flake from a real protocol bug.
+    procs, outs = run_once()
+    if any(p.returncode != 0 for p in procs):
+        procs, outs = run_once()
     for r, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"rank {r} failed:\n{out[-3000:]}"
 
