@@ -6,6 +6,7 @@ import jax
 import jax.numpy as jnp
 
 
+@pytest.mark.slow
 def test_checkpoint_roundtrip(tmp_path):
     from dtown import env as env_core, map_loader
     from dtown.types import EnvConfig

@@ -38,6 +38,7 @@ def test_ppo_learns_small_loop_state():
     assert tail_d < head_d, (head_d, tail_d)
 
 
+@pytest.mark.slow
 def test_impala_trunk_train_step():
     """The IMPALA residual trunk composes with the PPO learner (forward
     + backward through residual blocks, bf16 conv compute)."""

@@ -1,5 +1,6 @@
 """OBJ mesh loader (reference: objmesh.py::ObjMesh parity)."""
 import numpy as np
+import pytest
 
 
 def _write_sample(tmp_path):
@@ -113,6 +114,7 @@ def test_triangle_fidelity_render(tmp_path):
     assert red.sum() > 3, red.sum()
 
 
+@pytest.mark.slow
 def test_triangle_fidelity_fused_matches_xla(tmp_path):
     """Triangle-fidelity objects render on the FUSED path too (decimated
     Moeller-Trumbore baked into the blob kernel, KERNEL_TRI_BUDGET): the

@@ -76,6 +76,7 @@ def test_sharded_ppo_train_step():
     assert np.isfinite(float(metrics2["loss"]))
 
 
+@pytest.mark.slow
 def test_graft_entry_dryrun():
     import importlib.util, pathlib
 
@@ -87,6 +88,7 @@ def test_graft_entry_dryrun():
     mod.dryrun_multichip(8)
 
 
+@pytest.mark.slow
 def test_graft_entry_single():
     import importlib.util, pathlib
 
@@ -120,6 +122,7 @@ def test_sharded_ppo_multimap_curriculum():
     assert set(idx) == {0, 1}
 
 
+@pytest.mark.slow
 def test_hierarchical_mesh_ppo_matches_flat():
     """A (hosts=2, chips=4) hierarchical mesh must train identically to
     the flat 8-device 'envs' mesh: the shard_index fold is row-major
