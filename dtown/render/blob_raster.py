@@ -965,9 +965,9 @@ def _make_blob_kernel(H, W, plan, epb, grayscale=False, s_blk=None,
                 # (k_fw) times the dy plane — no vector divide. Sky
                 # lanes get inv_fw = 0 (masked by the sky select).
                 k_fw = (H * 0.5) / tany_e / ts_inv / eye1
-                # no max(-dy, 0): sky lanes produce garbage coverage
-                # that the in_grid/sky selects overwrite wholesale
-                inv_fw = -dy * k_fw
+                # along-track footprint (see raster.py): dy^2, no sign
+                # handling; sky-lane garbage is overwritten wholesale
+                inv_fw = dy * dy * k_fw
             else:
                 inv_fw = None
             fx = (eye0 + t_g * dx) * ts_inv

@@ -395,7 +395,8 @@ def _make_kernel(H, W, Hg, Wg, n_words, Kvis, sublanes, present=None,
             # marking AA: reciprocal ground footprint (tile units);
             # 1/t = -dy/eye1 on ground rays, so no vector divide
             k_fw = H / (2.0 * cam[0, 0, C_TANY]) / ts_inv / eye1
-            inv_fw = jnp.maximum(-dy, 0.0) * k_fw
+            # along-track footprint (see raster.py): dy^2
+            inv_fw = dy * dy * k_fw
         else:
             inv_fw = None
         r_, g_, b_ = _shade_pixels(kind, angle_idx, variant, u, v,
@@ -918,7 +919,8 @@ def _make_kernel_static(H, W, Hg, Wg, n_words, sublanes, present, scene,
 
         if aa:
             k_fw = H / (2.0 * cam[0, 0, C_TANY]) / ts_inv / eye1
-            inv_fw = jnp.maximum(-dy, 0.0) * k_fw
+            # along-track footprint (see raster.py): dy^2
+            inv_fw = dy * dy * k_fw
         else:
             inv_fw = None
         r_, g_, b_ = _shade_pixels(kind, angle_idx, variant, fx - ti,

@@ -113,9 +113,15 @@ def _ground_color(cfg, maps, state, rays, eye):
         # Identical formula in the fused kernel (blob_raster).
         H = dy.shape[0]
         px_ang = 2.0 * jnp.tan(0.5 * jnp.deg2rad(state.cam_fov_y)) / H
-        # no max(-dy, 0): sky rays produce garbage coverage that the
-        # hits_ground select overwrites wholesale
-        inv_fw = -dy / (eye[1] * px_ang) * ts
+        # ALONG-TRACK footprint fw = t*px_ang/|dy| (the ground-projected
+        # pixel extent along the view, 1/|dy| longer than across-track
+        # at grazing angles): inv_fw = |dy|/(t*px_ang) = dy^2/(eye_y*
+        # px_ang). Validated against an 8x8-supersampled reference (r5):
+        # edge-pixel error 13-17 vs 20-21 for the isotropic across-track
+        # form and 20-27 with AA off — far horizontal bands dissolve
+        # correctly instead of shimmering, near lines soften ~1 px.
+        # dy^2 also needs no sign handling on sky rays.
+        inv_fw = dy * dy / (eye[1] * px_ang) * ts
     else:
         inv_fw = None
     texel = shade_tile(kind, tangle, variant, u, v, inv_fw=inv_fw)
