@@ -57,19 +57,27 @@ class SteeringToWheelVelWrapper:
 
     def __init__(self, env):
         import dataclasses
-
-        self.env = env
-        self.env.cfg = dataclasses.replace(env.cfg, use_wheel_model=False)
-        # re-jit with the new static config
         import functools
 
         import jax
 
         from dtown import env as env_core
 
+        self.env = env
+        env.cfg = dataclasses.replace(env.cfg, use_wheel_model=False)
+        # re-jit EVERY cfg-closure, not just _step: _reset/_render_obs
+        # keeping the pre-replace cfg was a latent inconsistency
+        # (harmless while use_wheel_model didn't touch reset, but a trap
+        # for the next cfg-dependent wrapper — advisor/VERDICT r4)
         env._step = jax.jit(
             functools.partial(env_core.step, env.cfg, env.maps)
         )
+        env._reset = jax.jit(
+            functools.partial(env_core.reset, env.cfg, env.maps)
+        )
+        if hasattr(env, "_render"):
+            env._render = jax.jit(functools.partial(
+                env_core.render_obs, env.cfg, env.maps))
 
     def reset(self):
         return self.env.reset()

@@ -19,3 +19,8 @@ python bench.py --distortion                                  # fisheye obs (bak
 python bench.py --map bigtown                                 # 18x18 town, 32 objects (clustered plan, r3)
 python bench.py --distortion --width 640 --height 480 --envs 512  # fisheye at native res (impossible pre-r3)
 python bench.py --grayscale --map udem1 --size 96 --domain-rand   # config-4 headroom probe (grayscale)
+python bench.py --map town_dyn_duckiebots                     # scripted bots + walkers (r5: +62% via NPC LOD conds)
+python bench.py --map metro                                   # 20x20 town, 44 objects (r5)
+python bench.py --map loop_duckies                            # dense duckie ring (r5)
+python bench.py --map zigzag_dists,4way,udem1,small_loop,loop_obstacles,s_bend  # 6-map curriculum stack
+python bench.py --map bigtown_pedestrians                     # NPCs x clustered town

@@ -32,6 +32,10 @@ jax.distributed.initialize(
     coordinator_address=f"127.0.0.1:{port}",
     num_processes=2,
     process_id=rank,
+    # default 300 s covers loaded-machine startup skew; the ~30 s gloo
+    # COLLECTIVE timeout later is not configurable from here — the
+    # parent test retries on it instead
+    initialization_timeout=600,
 )
 assert jax.default_backend() == "cpu", jax.default_backend()
 assert len(jax.local_devices()) == 4, jax.local_devices()

@@ -72,11 +72,13 @@ def test_two_process_distributed_ppo(tmp_path):
 
     # gloo's cross-process collectives run a fixed ~30 s handshake
     # timeout; when the suite machine is saturated one worker can reach
-    # a barrier >30 s after the other and fail spuriously. One retry
-    # distinguishes that scheduling flake from a real protocol bug.
-    procs, outs = run_once()
-    if any(p.returncode != 0 for p in procs):
+    # a barrier >30 s after the other and fail spuriously (observed
+    # twice under the full 50-min tier, never standalone). Retries
+    # distinguish that scheduling flake from a real protocol bug.
+    for attempt in range(3):
         procs, outs = run_once()
+        if all(p.returncode == 0 for p in procs):
+            break
     for r, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"rank {r} failed:\n{out[-3000:]}"
 
