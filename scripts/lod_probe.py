@@ -29,6 +29,8 @@ def main():
     ap.add_argument("--q", default="1.0,1.5,2.0")
     ap.add_argument("--sizes", default="64,96")
     ap.add_argument("--envs", type=int, default=64)
+    ap.add_argument("--domain-rand", action="store_true",
+                    help="gate the DR render path too (config-4 class)")
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args()
 
@@ -37,6 +39,7 @@ def main():
         for size in (int(s) for s in args.sizes.split(",")):
             base = EnvConfig(obs_type="rgb", camera_width=size,
                              camera_height=size, auto_reset=False,
+                             domain_rand=args.domain_rand,
                              obj_lod_px=0.0)
             keys = jax.random.split(jax.random.PRNGKey(args.seed),
                                     args.envs)
