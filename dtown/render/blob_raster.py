@@ -1458,53 +1458,52 @@ def _make_blob_kernel(H, W, plan, epb, grayscale=False, s_blk=None,
                                         + 0.114 * cb_l) * sh,)
                         else:
                             payload = (pkc, dv)
-                        if pair_sz >= 2:
-                            # prim-pairing experiment (r5, VERDICT item
-                            # 5): the sequential fold is a SERIAL
-                            # compare/select chain over all prims; the
-                            # candidate (t, payload) form tree-combines
-                            # pair_sz prims first (same op count,
-                            # 1/pair_sz the critical-path length), then
-                            # folds once into the carry. Invalid prims
-                            # carry t=+inf, which loses to the 1e30
-                            # carry init and every real hit.
-                            _cands.append(
-                                (jnp.where(ok_p, t_w,
-                                           jnp.float32(jnp.inf)),
-                                 payload))
-                        else:
-                            closer = ok_p & (t_w < t_best)
-                            if grayscale:
-                                l_ = jnp.where(closer, payload[0], l_)
-                            else:
-                                pk_ = jnp.where(closer, payload[0], pk_)
-                                dv_ = jnp.where(closer, payload[1], dv_)
-                            t_best = jnp.where(closer, t_w, t_best)
-                        if _cands and (len(_cands) == pair_sz
-                                       or pr_ is ob["prims"][-1]):
-                            while len(_cands) > 1:
-                                nxt = []
-                                for a_i in range(0, len(_cands) - 1, 2):
-                                    ta, pa = _cands[a_i]
-                                    tb, pb = _cands[a_i + 1]
-                                    bb = tb < ta
-                                    nxt.append((
-                                        jnp.minimum(ta, tb),
-                                        tuple(jnp.where(bb, y, x)
-                                              for x, y in zip(pa, pb)),
-                                    ))
-                                if len(_cands) % 2:
-                                    nxt.append(_cands[-1])
-                                _cands = nxt
-                            t_c, pay = _cands[0]
-                            _cands = []
-                            closer = t_c < t_best
+                        def fold(closer, pay, t_new):
+                            nonlocal l_, pk_, dv_, t_best
                             if grayscale:
                                 l_ = jnp.where(closer, pay[0], l_)
                             else:
                                 pk_ = jnp.where(closer, pay[0], pk_)
                                 dv_ = jnp.where(closer, pay[1], dv_)
-                            t_best = jnp.where(closer, t_c, t_best)
+                            t_best = jnp.where(closer, t_new, t_best)
+
+                        if pair_sz >= 2:
+                            # prim pairing (r5, VERDICT item 5): the
+                            # sequential fold is a SERIAL compare/select
+                            # chain over all prims; the candidate
+                            # (t, payload) form tree-combines pair_sz
+                            # prims first (same op count, 1/pair_sz the
+                            # critical-path length), then folds once
+                            # into the carry. Invalid prims carry
+                            # t=+inf, which loses to the 1e30 carry
+                            # init and every real hit.
+                            _cands.append(
+                                (jnp.where(ok_p, t_w,
+                                           jnp.float32(jnp.inf)),
+                                 payload))
+                            if (len(_cands) == pair_sz
+                                    or pr_ is ob["prims"][-1]):
+                                while len(_cands) > 1:
+                                    nxt = []
+                                    for ai in range(0, len(_cands) - 1,
+                                                    2):
+                                        ta, pa = _cands[ai]
+                                        tb, pb = _cands[ai + 1]
+                                        bb = tb < ta
+                                        nxt.append((
+                                            jnp.minimum(ta, tb),
+                                            tuple(jnp.where(bb, y, x)
+                                                  for x, y
+                                                  in zip(pa, pb)),
+                                        ))
+                                    if len(_cands) % 2:
+                                        nxt.append(_cands[-1])
+                                    _cands = nxt
+                                t_c, pay = _cands[0]
+                                _cands = []
+                                fold(t_c < t_best, pay, t_c)
+                        else:
+                            fold(ok_p & (t_w < t_best), payload, t_w)
                     return ((l_, t_best) if grayscale
                             else (pk_, dv_, t_best))
 
