@@ -146,59 +146,48 @@ def main():
             f_rollout(blob, states, actions, args.iters)
         )
         print(f"step compile+warmup: {time.time()-t0:.1f}s", file=sys.stderr)
-        if args.obs == "state":
-            # The state-only call is ~milliseconds of kernel under
-            # ~30 ms of fixed per-call overhead (dispatch + tunnel), so
-            # a single-call rate understates the kernel 2-3x. Cancel
-            # the fixed cost exactly with a two-point measurement:
-            # steps/s = envs*n / (t(2n) - t(n)).
-            n2 = args.iters * 2
-            blob, r, o = jax.block_until_ready(
-                f_rollout(blob, states, actions, n2))  # warm 2n variant
-            dts, t1s = [], []
-            for _ in range(3):
-                t0 = time.time()
-                blob, r, o = jax.block_until_ready(
-                    f_rollout(blob, states, actions, args.iters))
-                t1 = time.time() - t0
-                t0 = time.time()
-                blob, r, o = jax.block_until_ready(
-                    f_rollout(blob, states, actions, n2))
-                t2 = time.time() - t0
-                t1s.append(t1)
-                dts.append(t2 - t1)  # PAIRED diff: cancels slow drift
-            dt = sorted(dts)[1]
-            t1 = sorted(t1s)[1]
-            if dt <= 0 or dt < 0.1 * t1:
-                # timing noise swamped the marginal cost — a negative
-                # or sub-noise dt would print a nonsense rate; fail
-                # loudly instead (raise --iters until the margin is
-                # several times the per-call jitter)
-                sys.exit(
-                    f"two-point measurement degenerate (paired diffs "
-                    f"{[f'{d*1e3:.1f}ms' for d in dts]} vs t(n)~"
-                    f"{t1*1e3:.0f} ms): rerun with a larger --iters"
-                )
-            steps_per_s = args.envs * args.iters / dt
-            print(
-                f"two-point {args.iters}/{n2} x {args.envs} envs: "
-                f"median t(n)={t1:.3f}s paired dt={dt:.3f}s -> marginal "
-                f"{steps_per_s/1e6:.3f} M steps/s (fixed per-call "
-                f"~{max(0.0, t1 - dt)*1e3:.0f} ms) [fused]",
-                file=sys.stderr,
-            )
-        else:
+        # Every call pays ~25-30 ms of fixed overhead (dispatch +
+        # tunnel) regardless of n: milliseconds-scale state-only calls
+        # are understated 2-3x by a single-call rate, and even the
+        # ~0.7 s RGB rollout loses ~4%. Cancel the fixed cost exactly
+        # with a paired two-point measurement on BOTH obs paths
+        # (r5; state-only since r4): steps/s = envs*n / (t(2n) - t(n)),
+        # the marginal steady-state rate of the scan body itself.
+        n2 = args.iters * 2
+        blob, r, o = jax.block_until_ready(
+            f_rollout(blob, states, actions, n2))  # warm 2n variant
+        dts, t1s = [], []
+        for _ in range(3):
             t0 = time.time()
             blob, r, o = jax.block_until_ready(
-                f_rollout(blob, states, actions, args.iters)
+                f_rollout(blob, states, actions, args.iters))
+            t1 = time.time() - t0
+            t0 = time.time()
+            blob, r, o = jax.block_until_ready(
+                f_rollout(blob, states, actions, n2))
+            t2 = time.time() - t0
+            t1s.append(t1)
+            dts.append(t2 - t1)  # PAIRED diff: cancels slow drift
+        dt = sorted(dts)[1]
+        t1 = sorted(t1s)[1]
+        if dt <= 0 or dt < 0.1 * t1:
+            # timing noise swamped the marginal cost — a negative
+            # or sub-noise dt would print a nonsense rate; fail
+            # loudly instead (raise --iters until the margin is
+            # several times the per-call jitter)
+            sys.exit(
+                f"two-point measurement degenerate (paired diffs "
+                f"{[f'{d*1e3:.1f}ms' for d in dts]} vs t(n)~"
+                f"{t1*1e3:.0f} ms): rerun with a larger --iters"
             )
-            dt = time.time() - t0
-            steps_per_s = args.envs * args.iters / dt
-            print(
-                f"{args.iters} x {args.envs} envs in {dt:.3f}s "
-                f"({steps_per_s/1e6:.3f} M steps/s) [fused]",
-                file=sys.stderr,
-            )
+        steps_per_s = args.envs * args.iters / dt
+        print(
+            f"two-point {args.iters}/{n2} x {args.envs} envs: "
+            f"median t(n)={t1:.3f}s paired dt={dt:.3f}s -> marginal "
+            f"{steps_per_s/1e6:.3f} M steps/s (fixed per-call "
+            f"~{max(0.0, t1 - dt)*1e3:.0f} ms) [fused]",
+            file=sys.stderr,
+        )
         obs_tag = "gray" if args.grayscale else args.obs
         if args.distortion:
             obs_tag += "_fisheye"
