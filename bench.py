@@ -156,30 +156,59 @@ def main():
         n2 = args.iters * 2
         blob, r, o = jax.block_until_ready(
             f_rollout(blob, states, actions, n2))  # warm 2n variant
-        dts, t1s = [], []
-        for _ in range(3):
-            t0 = time.time()
-            blob, r, o = jax.block_until_ready(
-                f_rollout(blob, states, actions, args.iters))
-            t1 = time.time() - t0
-            t0 = time.time()
-            blob, r, o = jax.block_until_ready(
-                f_rollout(blob, states, actions, n2))
-            t2 = time.time() - t0
-            t1s.append(t1)
-            dts.append(t2 - t1)  # PAIRED diff: cancels slow drift
-        dt = sorted(dts)[1]
-        t1 = sorted(t1s)[1]
-        if dt <= 0 or dt < 0.1 * t1:
-            # timing noise swamped the marginal cost — a negative
-            # or sub-noise dt would print a nonsense rate; fail
-            # loudly instead (raise --iters until the margin is
-            # several times the per-call jitter)
-            sys.exit(
-                f"two-point measurement degenerate (paired diffs "
-                f"{[f'{d*1e3:.1f}ms' for d in dts]} vs t(n)~"
-                f"{t1*1e3:.0f} ms): rerun with a larger --iters"
+        for attempt in range(3):
+            dts, t1s = [], []
+            for _ in range(3):
+                t0 = time.time()
+                blob, r, o = jax.block_until_ready(
+                    f_rollout(blob, states, actions, args.iters))
+                t1 = time.time() - t0
+                t0 = time.time()
+                blob, r, o = jax.block_until_ready(
+                    f_rollout(blob, states, actions, n2))
+                t2 = time.time() - t0
+                t1s.append(t1)
+                dts.append(t2 - t1)  # PAIRED diff: cancels slow drift
+            dt = sorted(dts)[1]
+            t1 = sorted(t1s)[1]
+            if dt > 0 and dt >= 0.1 * t1:
+                break
+            # Degenerate measurement: either timing noise swamped the
+            # marginal cost, or the runtime memoized the repeat calls
+            # outright (t(n) ~ 0 ms — observed once on the state path
+            # even with donated, evolving blobs). Perturb the action
+            # VALUES (new operand values defeat value-keyed result
+            # memoization; the timing is action-independent) and retry.
+            print(
+                f"two-point attempt {attempt + 1} degenerate (paired "
+                f"diffs {[f'{d*1e3:.1f}ms' for d in dts]} vs t(n)~"
+                f"{t1*1e3:.0f} ms), retrying with perturbed operands",
+                file=sys.stderr,
             )
+            actions = actions * (1.0 + 1e-6 * (attempt + 1))
+            blob, r, o = jax.block_until_ready(
+                f_rollout(blob, states, actions, n2))  # re-warm values
+        else:
+            if t1 > 0.2:
+                # the call is long enough that the ~30 ms fixed
+                # overhead is a small fraction: a single-call rate is
+                # a sane (slightly conservative) fallback — better a
+                # mild underestimate than no measurement at all
+                dt = t1
+                print(
+                    "two-point degenerate after retries; falling back "
+                    f"to the single-call rate over t(n)={t1:.3f}s",
+                    file=sys.stderr,
+                )
+            else:
+                # a millisecond-scale call with no usable margin would
+                # print a nonsense rate; fail loudly instead (raise
+                # --iters until the margin beats the per-call jitter)
+                sys.exit(
+                    f"two-point measurement degenerate (paired diffs "
+                    f"{[f'{d*1e3:.1f}ms' for d in dts]} vs t(n)~"
+                    f"{t1*1e3:.0f} ms): rerun with a larger --iters"
+                )
         steps_per_s = args.envs * args.iters / dt
         print(
             f"two-point {args.iters}/{n2} x {args.envs} envs: "
